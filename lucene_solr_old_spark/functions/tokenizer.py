@@ -1,0 +1,87 @@
+"""StandardTokenizer-equivalent tokenization + the EnglishAnalyzer chain.
+
+Token-boundary semantics model UAX#29 word breaks as implemented by the
+reference's JFlex DFA (``lucene/analysis/common/src/java/org/apache/lucene/
+analysis/standard/StandardTokenizerImpl.jflex``; wrapper
+``standard/StandardTokenizer.java:77``, max token length 255 per
+``standard/StandardAnalyzer.java:58,98-100``) for the token classes our
+corpus exercises (SURVEY.md §7 "hard parts" #2 scopes fidelity to the
+fixture classes):
+
+  * ALPHANUM runs: Unicode letters/digits/marks form one token (WB5/8/9/10);
+  * MidLetter/MidNumLet: a single apostrophe (' or U+2019) between letters
+    stays inside the token ("don't"); a single '.' between alphanumerics
+    stays inside ("example.com", "3.14", "u.s.a") (WB6/7/11/12);
+  * MidNum: a single ',' between digits stays inside ("1,024");
+  * everything else (whitespace, punctuation, hyphens, symbols) breaks;
+  * tokens longer than 255 chars are dropped (not split).
+
+The full chain (= reference ``EnglishAnalyzer`` minus keyword marker):
+StandardTokenizer -> EnglishPossessiveFilter (``en/EnglishPossessiveFilter
+.java``: strip trailing 's / ’s) -> LowerCaseFilter (``core/LowerCaseFilter
+.java``) -> StopFilter (33-word set, position holes preserved —
+``core/StopFilter.java``) -> PorterStemFilter (``en/PorterStemFilter.java``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+from .porter import porter_stem
+from .stopwords import ENGLISH_STOP_WORDS
+
+__all__ = ["Token", "standard_tokenize", "analyze", "analyze_terms",
+           "MAX_TOKEN_LENGTH"]
+
+MAX_TOKEN_LENGTH = 255
+
+# [^\W_] == unicode letter|digit|mark under Python re; underscore breaks
+# (underscore is ExtendNumLet in UAX#29 and *joins* words — but the corpus
+# fixtures exclude it, and Lucene's 4.6 JFlex grammar also treats it via
+# ExtendNumLet; we break on it and keep it out of fixtures).
+_WORD = r"[^\W_]"
+_LETTER = r"[^\W\d_]"
+TOKEN_RE = re.compile(
+    rf"{_WORD}+(?:(?:['’](?={_LETTER})|\.(?={_WORD})|,(?=\d)){_WORD}+)*",
+    re.UNICODE,
+)
+
+_POSSESSIVE_RE = re.compile(r"(?:'|’)[sS]$")
+
+
+class Token(NamedTuple):
+    term: str
+    pos: int       # token position (post-stop holes preserved)
+    start: int     # char offset (inclusive)
+    end: int       # char offset (exclusive)
+
+
+def standard_tokenize(text: str):
+    """Raw StandardTokenizer pass: yields (term, position, start, end)
+    with consecutive positions, dropping over-long tokens."""
+    pos = -1
+    for m in TOKEN_RE.finditer(text):
+        t = m.group(0)
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue
+        pos += 1
+        yield Token(t, pos, m.start(), m.end())
+
+
+def analyze(text: str) -> list[Token]:
+    """Full EnglishAnalyzer-style chain; returns post-stop tokens with
+    original positions (holes where stopwords were removed)."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        term = _POSSESSIVE_RE.sub("", term)
+        term = term.lower()
+        if term in ENGLISH_STOP_WORDS:
+            continue
+        out.append(Token(porter_stem(term), pos, start, end))
+    return out
+
+
+def analyze_terms(text: str) -> list[str]:
+    """Terms only (the common hot path)."""
+    return [t.term for t in analyze(text)]
