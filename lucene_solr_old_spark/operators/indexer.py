@@ -1,0 +1,188 @@
+"""Index build: documents DataFrame -> segmented inverted index DataFrames.
+
+Spark-first restatement of the reference build pipeline (SURVEY.md §3.1):
+
+  * partition == DocumentsWriterPerThread: ``repartitionByRange(key)`` +
+    ``sortWithinPartitions(key)`` gives deterministic segment membership and
+    a deterministic segment-local docID (= rank of key within segment) under
+    ANY parallelism — the engine's substitute for Lucene's insertion-order
+    docIDs (``index/DocumentsWriterPerThread.java``);
+  * analysis + local inversion run inside ``mapInPandas`` with no shuffle;
+  * the ONE shuffle of the build is ``groupBy(seg, term)`` building
+    docID-sorted posting lists (``FreqProxTermsWriterPerField.java:100-239``'s
+    in-memory postings, re-expressed as a Spark aggregation);
+  * optional salted two-phase aggregation splits head terms into
+    ``docid % salt`` sub-keys and re-merges — build-time skew handling for
+    Zipf head terms (north_rule; the CommonTermsQuery high-df split idea at
+    build time, ``queries/CommonTermsQuery.java``);
+  * per-segment stats (maxDoc, sumTotalTermFreq) == the term dict's
+    FieldSummary (``codecs/BlockTreeTermsWriter.java:113-117``).
+
+Posting lists embed each doc's norm byte so query-time scoring needs no
+docmeta join (Lucene reads norms from a per-segment column during scoring;
+we inline them — same data, join-free plan).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .analysis import TERMDOC_SCHEMA, make_analyze_partition, make_html_extractor
+
+__all__ = ["InvertedIndex", "build_index", "load_index"]
+
+
+@dataclass
+class InvertedIndex:
+    """postings(seg, term, df, ttf, postings: array<struct<docid,freq,norm[,positions]>>)
+    docmeta(seg, docid, key, doclen, norm)
+    segstats(seg, max_doc, sum_ttf)
+    """
+
+    postings: DataFrame
+    docmeta: DataFrame
+    segstats: DataFrame
+    with_positions: bool = True
+    _stats: tuple | None = field(default=None, repr=False)
+
+    def collection_stats(self) -> tuple[int, int]:
+        """(maxDoc, sumTotalTermFreq) over the whole index — global exact
+        stats (unlike per-shard Solr idf; SURVEY.md §3.3)."""
+        if self._stats is None:
+            row = self.segstats.agg(
+                F.sum("max_doc").alias("md"), F.sum("sum_ttf").alias("st")
+            ).collect()[0]
+            self._stats = (int(row["md"] or 0), int(row["st"] or 0))
+        return self._stats
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Global (df, ttf) per term — the TermStatistics lookup
+        (``search/TermStatistics.java``); small driver-side collect, exactly
+        like Lucene's term-dictionary seek before scoring."""
+        if not terms:
+            return {}
+        rows = (
+            self.postings.where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def persist(self) -> "InvertedIndex":
+        self.postings = self.postings.persist()
+        self.docmeta = self.docmeta.persist()
+        self.segstats = self.segstats.persist()
+        return self
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """Segment-per-partition persistent layout: postings partitioned by
+        seg (the Iceberg-style 'segment = partition' model, SURVEY.md §1.1).
+        """
+        self.postings.write.mode(mode).partitionBy("seg").parquet(
+            os.path.join(path, "postings"))
+        self.docmeta.write.mode(mode).partitionBy("seg").parquet(
+            os.path.join(path, "docmeta"))
+        self.segstats.write.mode(mode).parquet(os.path.join(path, "segstats"))
+
+
+def load_index(spark: SparkSession, path: str,
+               with_positions: bool = True) -> InvertedIndex:
+    return InvertedIndex(
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        docmeta=spark.read.parquet(os.path.join(path, "docmeta")),
+        segstats=spark.read.parquet(os.path.join(path, "segstats")),
+        with_positions=with_positions,
+    )
+
+
+def _posting_struct(with_positions: bool):
+    cols = [F.col("docid"), F.col("freq"), F.col("norm")]
+    if with_positions:
+        cols.append(F.col("positions"))
+    return F.struct(*cols)
+
+
+def build_index(
+    docs: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    num_segments: int = 8,
+    with_positions: bool = True,
+    salt_partitions: int = 0,
+    html_col: str | None = None,
+) -> InvertedIndex:
+    """Build the inverted index. ``salt_partitions > 0`` enables the
+    two-phase salted aggregation for head-term skew."""
+    cols = [F.col(key_col).alias("key")]
+    if html_col is not None:
+        docs = docs.withColumnRenamed(key_col, "key") if key_col != "key" else docs
+        docs = docs.select("key", F.col(html_col).alias("html"))
+        docs = docs.mapInPandas(
+            make_html_extractor("html"),
+            schema="key STRING, html BINARY, text STRING")
+        base = docs.select("key", "text")
+    else:
+        base = docs.select(*cols, F.col(text_col).alias("text"))
+
+    # segment assignment: range partition by key => (seg, docid) order is the
+    # global key order, so docID-based tie-breaks equal key-based ones.
+    parted = (
+        base.repartitionByRange(num_segments, "key")
+        .sortWithinPartitions("key")
+        .withColumn("seg", F.spark_partition_id())
+    )
+    termdoc = parted.mapInPandas(
+        make_analyze_partition("key", "text", with_positions=with_positions),
+        schema=TERMDOC_SCHEMA,
+    )
+
+    termdoc = termdoc.persist()
+    docmeta = termdoc.groupBy("seg", "docid").agg(
+        F.first("key").alias("key"),
+        F.first("doclen").alias("doclen"),
+        F.first("norm").alias("norm"),
+    ).select("seg", "docid", "key", "doclen", "norm")
+    # token-less docs carry a NULL-term sentinel row (analysis.py) so they
+    # keep a dense docID and count in maxDoc; drop sentinels from postings.
+    termdoc = termdoc.where(F.col("term").isNotNull())
+
+    pstruct = _posting_struct(with_positions)
+    if salt_partitions and salt_partitions > 1:
+        # phase 1: partial sorted lists per (seg, term, docid % salt)
+        partial = (
+            termdoc.groupBy("seg", "term",
+                            F.pmod(F.col("docid"), F.lit(salt_partitions)).alias("_salt"))
+            .agg(
+                F.count("*").alias("pdf"),
+                F.sum("freq").alias("pttf"),
+                F.sort_array(F.collect_list(pstruct)).alias("plist"),
+            )
+        )
+        # phase 2: merge partials (salt classes interleave -> re-sort by docid)
+        postings = (
+            partial.groupBy("seg", "term")
+            .agg(
+                F.sum("pdf").cast("int").alias("df"),
+                F.sum("pttf").cast("long").alias("ttf"),
+                F.array_sort(F.flatten(F.collect_list("plist"))).alias("postings"),
+            )
+        )
+    else:
+        postings = (
+            termdoc.groupBy("seg", "term")
+            .agg(
+                F.count("*").cast("int").alias("df"),
+                F.sum("freq").cast("long").alias("ttf"),
+                F.sort_array(F.collect_list(pstruct)).alias("postings"),
+            )
+        )
+
+    segstats = docmeta.groupBy("seg").agg(
+        F.count("*").alias("max_doc"),
+        F.sum("doclen").alias("sum_ttf"),
+    )
+    return InvertedIndex(postings, docmeta, segstats, with_positions)

@@ -1,0 +1,272 @@
+"""Query execution: the reference's scorer algebra as DataFrame plans.
+
+Mapping (SURVEY.md §2.5, §2.7):
+
+  * TermQuery/TermScorer        -> filter postings to term, explode, score
+    (``search/TermQuery.java:161``, ``TermScorer.java:27-96``)
+  * BooleanQuery SHOULD (OR)    -> union of per-term score frames +
+    groupBy(doc).sum  — term-at-a-time, exactly BooleanScorer's bucket
+    accumulation (``search/BooleanScorer.java:61,143-156``); coord == 1 for
+    BM25 so disjunction score is a plain sum (``Similarity.java:122-124``)
+  * BooleanQuery MUST (AND)     -> same frames + HAVING count(distinct term)
+    == n  (the leapfrog ConjunctionScorer's semantics,
+    ``ConjunctionScorer.java:28-120`` — Catalyst's hash aggregate replaces
+    the merge)
+  * MUST_NOT                    -> left-anti join (``ReqExclScorer.java``)
+  * minNrShouldMatch            -> HAVING count >= n
+    (``MinShouldMatchSumScorer.java:36``)
+  * DisjunctionMaxQuery         -> max(score) + tie*(sum-max)
+    (``DisjunctionMaxQuery.java``)
+  * PhraseQuery (slop=0)        -> positions-array intersection via a
+    vectorized alignment kernel (``ExactPhraseScorer.java:26-33``); phrase
+    freq feeds BM25 with summed idf (``BM25Similarity.idfExplain[]``)
+  * top-k collector             -> ORDER BY score DESC, key ASC LIMIT k —
+    Catalyst's TakeOrderedAndProject is the per-leaf PQ + merge
+    (``TopScoreDocCollector.java:54-61``; ties favor lower doc order)
+  * searchAfter                 -> WHERE (score,key) < (after) then top-k
+    (``IndexSearcher.java:234-250``)
+
+Scoring: per-term scores are computed in Spark float32 arithmetic (same IEEE
+ops as the Java engine); the freq-independent norm factor is looked up from
+the 256-entry cache (``BM25Similarity.java:206-210``) via an array literal.
+Multi-term sums aggregate in float64 then round to float32 — the reference's
+own sum order is scorer-implementation-dependent (BS1 vs BS2), so sums are
+only reproducible up to addition order; ranks are tie-broken by doc key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.bm25 import Bm25Stats
+from ..functions.tokenizer import analyze_terms
+from .indexer import InvertedIndex
+
+__all__ = [
+    "term_score_frame", "search_terms", "search_or", "search_and",
+    "search_dismax", "search_phrase", "count_query", "search_after",
+]
+
+
+def _cache_array(stats: Bm25Stats) -> Column:
+    """256-entry float32 norm-factor cache as a Spark array literal."""
+    return F.array(*[F.lit(float(c)).cast("float") for c in stats.cache])
+
+
+def _norm_factor(stats: Bm25Stats) -> Column:
+    # element_at is 1-based; norm byte is 0..255
+    return F.element_at(_cache_array(stats), F.col("norm") + 1)
+
+
+def term_score_frame(index: InvertedIndex, terms: list[str],
+                     boost: float = 1.0) -> tuple[DataFrame, Bm25Stats]:
+    """(seg, docid, term, freq, norm, score) for every posting of ``terms``.
+
+    score = weightValue * freq / (freq + cache[norm]) in float32
+    (``BM25Similarity.java:233-238``), weightValue per-term from global df.
+    """
+    max_doc, sum_ttf = index.collection_stats()
+    stats = Bm25Stats(max_doc, sum_ttf)
+    tstats = index.term_stats(terms)
+
+    matched = index.postings.where(F.col("term").isin(list(set(terms))))
+    exploded = matched.select(
+        "seg", "term",
+        F.explode("postings").alias("p"),
+    ).select(
+        "seg", "term",
+        F.col("p.docid").alias("docid"),
+        F.col("p.freq").alias("freq"),
+        F.col("p.norm").alias("norm"),
+    )
+    # per-term weightValue = boost * idf * (k1+1), float32, from GLOBAL df
+    weight_map = F.create_map(*[
+        x for t in set(terms)
+        for x in (F.lit(t),
+                  F.lit(float(stats.weight_value(tstats.get(t, (0, 0))[0], boost))))
+    ])
+    scored = exploded.withColumn(
+        "score",
+        (weight_map[F.col("term")].cast("float") * F.col("freq").cast("float"))
+        / (F.col("freq").cast("float") + _norm_factor(stats)),
+    )
+    return scored, stats
+
+
+def _topk(per_doc: DataFrame, index: InvertedIndex, k: int) -> DataFrame:
+    """Collector: join back doc keys (late materialization — the
+    PURPOSE_GET_FIELDS second round of SURVEY.md §3.3) and take top-k."""
+    with_keys = per_doc.join(
+        index.docmeta.select("seg", "docid", "key"), ["seg", "docid"])
+    return (
+        with_keys.select("key", F.col("score").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def search_terms(index: InvertedIndex, query_text: str, mode: str = "OR",
+                 k: int = 10, min_should_match: int = 0,
+                 exclude_text: str | None = None) -> DataFrame:
+    """Analyze ``query_text`` with the same chain as indexing (Lucene parses
+    queries through the index analyzer), then run OR/AND with optional
+    MUST_NOT and minimum-should-match. Returns top-k (key, score)."""
+    terms = analyze_terms(query_text)
+    if not terms:
+        return index.docmeta.select(
+            F.col("key"), F.lit(0.0).cast("float").alias("score")).limit(0)
+    scored, _ = term_score_frame(index, terms)
+
+    agg = scored.groupBy("seg", "docid").agg(
+        F.sum("score").alias("score"),
+        F.count_distinct("term").alias("nmatched"),
+    )
+    uniq = len(set(terms))
+    if mode.upper() == "AND":
+        agg = agg.where(F.col("nmatched") == uniq)
+    elif min_should_match > 1:
+        agg = agg.where(F.col("nmatched") >= min_should_match)
+
+    if exclude_text:
+        ex_terms = analyze_terms(exclude_text)
+        if ex_terms:
+            ex_docs = (
+                index.postings.where(F.col("term").isin(ex_terms))
+                .select("seg", F.explode("postings.docid").alias("docid"))
+                .distinct()
+            )
+            agg = agg.join(ex_docs, ["seg", "docid"], "left_anti")
+    return _topk(agg, index, k)
+
+
+def search_or(index: InvertedIndex, query_text: str, k: int = 10) -> DataFrame:
+    return search_terms(index, query_text, "OR", k)
+
+
+def search_and(index: InvertedIndex, query_text: str, k: int = 10) -> DataFrame:
+    return search_terms(index, query_text, "AND", k)
+
+
+def search_dismax(index: InvertedIndex, query_text: str, k: int = 10,
+                  tie_breaker: float = 0.0) -> DataFrame:
+    """score = max(sub) + tie * (sum(sub) - max(sub))
+    (``search/DisjunctionMaxQuery.java``)."""
+    terms = analyze_terms(query_text)
+    scored, _ = term_score_frame(index, terms)
+    agg = scored.groupBy("seg", "docid").agg(
+        (F.max("score")
+         + F.lit(tie_breaker) * (F.sum("score") - F.max("score"))).alias("score"))
+    return _topk(agg, index, k)
+
+
+def count_query(index: InvertedIndex, query_text: str, mode: str = "OR") -> int:
+    """TotalHitCountCollector (``search/TotalHitCountCollector.java``)."""
+    terms = analyze_terms(query_text)
+    if not terms:
+        return 0
+    matched = (
+        index.postings.where(F.col("term").isin(terms))
+        .select("seg", F.explode("postings.docid").alias("docid"),
+                F.col("term"))
+    )
+    grouped = matched.groupBy("seg", "docid").agg(
+        F.count_distinct("term").alias("nmatched"))
+    if mode.upper() == "AND":
+        grouped = grouped.where(F.col("nmatched") == len(set(terms)))
+    return grouped.count()
+
+
+def search_after(index: InvertedIndex, query_text: str, k: int,
+                 after_score: float, after_key: str,
+                 mode: str = "OR") -> DataFrame:
+    """Cursor pagination: hits strictly after (score, key) in rank order
+    (``search/IndexSearcher.java:234-250,351-416``)."""
+    # over-fetch then filter — the frame is lazy so only the filter survives
+    terms = analyze_terms(query_text)
+    scored, _ = term_score_frame(index, terms)
+    agg = scored.groupBy("seg", "docid").agg(
+        F.sum("score").alias("score"),
+        F.count_distinct("term").alias("nmatched"))
+    if mode.upper() == "AND":
+        agg = agg.where(F.col("nmatched") == len(set(terms)))
+    with_keys = agg.join(index.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+    cast = F.col("score").cast("float")
+    after = (cast < F.lit(after_score)) | (
+        (cast == F.lit(after_score)) & (F.col("key") > F.lit(after_key)))
+    return (
+        with_keys.where(after)
+        .select("key", cast.alias("score"))
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10) -> DataFrame:
+    """Exact phrase (slop=0): per-doc alignment count of consecutive
+    positions == phrase freq; BM25 with summed idf
+    (``search/ExactPhraseScorer.java:26-33``; ``PhraseQuery.java:279-283``).
+    """
+    if not index.with_positions:
+        raise ValueError("index built without positions")
+    terms = analyze_terms(phrase_text)
+    if not terms:
+        return index.docmeta.select(
+            F.col("key"), F.lit(0.0).cast("float").alias("score")).limit(0)
+    if len(terms) == 1:
+        return search_terms(index, phrase_text, "OR", k)
+
+    max_doc, sum_ttf = index.collection_stats()
+    stats = Bm25Stats(max_doc, sum_ttf)
+    tstats = index.term_stats(terms)
+    # summed idf over the phrase's terms, float32 accumulation order = term
+    # order (BM25Similarity.idfExplain(TermStatistics[]))
+    idf_sum = np.float32(0.0)
+    for t in terms:
+        idf_sum = idf_sum + stats.idf(tstats.get(t, (0, 0))[0])
+    weight_value = float(idf_sum * (stats.k1 + np.float32(1.0)))
+
+    # per position-slot i: docs containing terms[i], positions shifted by -i
+    # (ExactPhraseScorer checks pos_i == base + i; shifting makes the check
+    # a plain multi-set intersection of arrays)
+    frames = []
+    for i, t in enumerate(terms):
+        f = (
+            index.postings.where(F.col("term") == t)
+            .select("seg", F.explode("postings").alias("p"))
+            .select(
+                "seg",
+                F.col("p.docid").alias("docid"),
+                F.col("p.norm").alias("norm"),
+                F.transform(F.col("p.positions"),
+                            lambda c: c - F.lit(i)).alias(f"pos"),
+            )
+            .withColumn("slot", F.lit(i))
+        )
+        frames.append(f)
+    # duplicate terms in the phrase reuse the same postings rows, one per slot
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    per_doc = union.groupBy("seg", "docid").agg(
+        F.count("*").alias("nslots"),
+        F.first("norm").alias("norm"),
+        F.array_sort(F.collect_list(F.struct("slot", "pos"))).alias("slots"),
+    ).where(F.col("nslots") == len(terms))
+    # phrase freq = |intersection of shifted position arrays|
+    inter = per_doc.withColumn(
+        "common",
+        F.aggregate(
+            F.expr("slice(slots, 2, size(slots) - 1)"),
+            F.col("slots")[0]["pos"],
+            lambda acc, s: F.array_intersect(acc, s["pos"]),
+        ),
+    ).withColumn("pfreq", F.size("common")).where(F.col("pfreq") > 0)
+
+    scored = inter.withColumn(
+        "score",
+        (F.lit(weight_value).cast("float") * F.col("pfreq").cast("float"))
+        / (F.col("pfreq").cast("float") + _norm_factor(stats)),
+    ).select("seg", "docid", "score")
+    return _topk(scored, index, k)

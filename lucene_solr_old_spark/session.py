@@ -1,0 +1,66 @@
+"""SparkSession helpers with scale-appropriate defaults.
+
+Designed for multi-executor clusters (the engine itself never assumes local
+mode); local[N] settings here only serve tests/bench in this sandbox.
+AQE is on so skewed query-time joins get runtime splitting
+(SURVEY.md §4.2 "skew handling").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lucene-solr-old-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8))))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def package_zip(out_dir: str | None = None) -> str:
+    """Zip this package for spark-submit --py-files / addPyFile shipping."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    out_dir = out_dir or tempfile.gettempdir()
+    zpath = os.path.join(out_dir, "lucene_solr_old_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith((".py",)):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return zpath
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of driver cwd
+    (the local-mode equivalent of ``spark-submit --py-files engine.zip``)."""
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:  # already added, or non-local FS quirks — non-fatal
+        pass
