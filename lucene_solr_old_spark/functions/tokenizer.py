@@ -85,3 +85,39 @@ def analyze(text: str) -> list[Token]:
 def analyze_terms(text: str) -> list[str]:
     """Terms only (the common hot path)."""
     return [t.term for t in analyze(text)]
+
+
+_WS_RE = re.compile(r"\S+")
+
+
+def ws_stop_analyze(text: str) -> list[Token]:
+    """WhitespaceTokenizer + LowerCase + StopFilter, NO stemming.
+
+    The reference's ``core/WhitespaceTokenizer.java`` + ``LowerCaseFilter`` +
+    ``StopFilter`` chain.  Positions are pre-stop indices (holes preserved,
+    StopFilter semantics).  This chain is ANSI-SQL-expressible, which makes
+    it the analyzer used by the DuckDB correctness oracle (gate.py); the
+    full English chain is oracle-checked in pytest instead.
+    """
+    out: list[Token] = []
+    pos = -1
+    for m in _WS_RE.finditer(text):
+        pos += 1
+        term = m.group(0).lower()
+        if term in ENGLISH_STOP_WORDS:
+            continue
+        out.append(Token(term, pos, m.start(), m.end()))
+    return out
+
+
+ANALYZERS = {
+    "english": analyze,
+    "ws_stop": ws_stop_analyze,
+}
+
+
+def get_analyzer(name: str):
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; have {sorted(ANALYZERS)}")

@@ -1,0 +1,665 @@
+"""Correctness-gate queries + their ANSI-SQL (DuckDB) oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+pre-registered tables (documents, embeddings).  The Spark side runs the real
+engine (ws_stop analyzer + float64 "oracle precision" BM25 — same norm-byte
+QUANTIZATION as the rank-identity float32 path, but IEEE-double arithmetic in
+a fixed operation order so ANSI SQL can reproduce it; the float32
+rank-identity path vs the reference is pytest-verified in
+tests/test_index_search.py).  Scores are rounded to 4-6 decimals on BOTH
+sides to absorb sum-order and libm ulp differences.
+
+Column names/types are aligned pairwise (the driver hash compares columns
+sorted by name).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.stopwords import ENGLISH_STOP_WORDS
+from .operators import search as S
+from .operators.indexer import InvertedIndex, build_index
+from .operators.search import LQ64
+from .functions.smallfloat import doclen_to_norm
+
+# --------------------------------------------------------------------------
+# shared SQL prelude: the ws_stop analyzer + collection stats, in SQL
+# --------------------------------------------------------------------------
+
+_STOP_SQL = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+_MAX_DOCLEN = 512  # corpus max ~100; margin for larger sf
+
+
+def _lq_values() -> str:
+    rows = []
+    for L in range(1, _MAX_DOCLEN + 1):
+        lq = LQ64[int(doclen_to_norm(L))]
+        rows.append(f"({L},{lq!r}::DOUBLE)")
+    return ",".join(rows)
+
+
+_PRELUDE = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents)
+),
+tok AS (SELECT * FROM raw WHERE term NOT IN ({_STOP_SQL})),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+
+# numeric literals are cast to DOUBLE: DuckDB otherwise parses them as
+# DECIMAL, whose arithmetic differs from the engine's float64
+_IDF = ("ln(1 + ((SELECT max_doc FROM cs) - dfreq.df + 0.5::DOUBLE)"
+        "/(dfreq.df + 0.5::DOUBLE))")
+_AVGDL = "((SELECT sum_ttf FROM cs) / (SELECT max_doc FROM cs))"
+_CACHE = f"1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})"
+_TERM_SCORE = f"(({_IDF} * 2.2::DOUBLE) * tf.freq) / (tf.freq + {_CACHE})"
+
+
+def _scored_cte(terms: list[str]) -> str:
+    tl = ",".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+scored AS (
+  SELECT tf.doc_id, SUM({_TERM_SCORE}) AS s, count(*) AS nmatched
+  FROM tf
+  JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ({tl})
+  GROUP BY tf.doc_id
+)"""
+
+
+def _topk_sql(terms, k=20, having="", extra_where=""):
+    return f"""WITH {_PRELUDE}, {_scored_cte(terms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+WHERE 1=1 {extra_where}
+{having}
+ORDER BY s DESC, doc_id
+LIMIT {k}"""
+
+
+# --------------------------------------------------------------------------
+# Spark side helpers
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Build (once per sf_dir) the ws_stop index over documents.
+
+    Keys are zero-padded doc ids so string order == numeric order (the
+    engine's canonical tie-break key)."""
+    if sf_dir not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            "text")
+        idx = build_index(docs, key_col="doc_key", text_col="text",
+                          num_segments=4, analyzer="ws_stop").persist()
+        _INDEX_CACHE[sf_dir] = idx
+    return _INDEX_CACHE[sf_dir]
+
+
+def _as_docid_score(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# the gate registry: name -> (spark_fn(spark, sf_dir) -> DataFrame, sql)
+# --------------------------------------------------------------------------
+
+GATE: dict[str, tuple] = {}
+
+
+def _reg(name: str, sql: str | None):
+    def deco(fn):
+        GATE[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# ---- term & boolean scoring (SURVEY §2.5) ----------------------------------
+
+@_reg("term_query", _topk_sql(["spark"]))
+def _q_term(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(S.search_or(idx, "spark", k=20, precision="float64"))
+
+
+@_reg("bool_or", _topk_sql(["spark", "join"]))
+def _q_or(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(
+        S.search_or(idx, "spark join", k=20, precision="float64"))
+
+
+@_reg("bool_and", _topk_sql(["spark", "join"], extra_where="AND nmatched = 2"))
+def _q_and(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(
+        S.search_and(idx, "spark join", k=20, precision="float64"))
+
+
+@_reg("bool_must_not", _topk_sql(
+    ["spark"],
+    extra_where="AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')"))
+def _q_not(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(S.search_terms(
+        idx, "spark", exclude_text="vector", k=20, precision="float64"))
+
+
+@_reg("min_should_match",
+      _topk_sql(["spark", "join", "merge"], extra_where="AND nmatched >= 2"))
+def _q_msm(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(S.search_terms(
+        idx, "spark join merge", k=20, min_should_match=2,
+        precision="float64"))
+
+
+@_reg("dismax", f"""WITH {_PRELUDE},
+ts AS (
+  SELECT tf.doc_id, {_TERM_SCORE} AS s
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('spark','join')
+)
+SELECT doc_id, round(MAX(s) + 0.3::DOUBLE*(SUM(s) - MAX(s)), 4) AS score
+FROM ts GROUP BY doc_id
+ORDER BY MAX(s) + 0.3::DOUBLE*(SUM(s) - MAX(s)) DESC, doc_id LIMIT 20""")
+def _q_dismax(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(S.search_dismax(
+        idx, "spark join", k=20, tie_breaker=0.3, precision="float64"))
+
+
+# ---- phrase (positions) -----------------------------------------------------
+
+_PHRASE_T = ("batch", "batch")
+
+@_reg("phrase_query", f"""WITH {_PRELUDE},
+pf AS (
+  SELECT a.doc_id, count(*) AS pfreq
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{_PHRASE_T[0]}' AND b.term = '{_PHRASE_T[1]}'
+  GROUP BY a.doc_id
+),
+w AS (
+  SELECT ((SELECT ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)/(df + 0.5::DOUBLE))
+           FROM dfreq WHERE term = '{_PHRASE_T[0]}')
+        + (SELECT ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)/(df + 0.5::DOUBLE))
+           FROM dfreq WHERE term = '{_PHRASE_T[1]}')) * 2.2::DOUBLE AS wv
+)
+SELECT pf.doc_id,
+       round(((SELECT wv FROM w) * pf.pfreq)
+             / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+ORDER BY ((SELECT wv FROM w) * pf.pfreq)
+         / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})) DESC, pf.doc_id
+LIMIT 20""")
+def _q_phrase(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(S.search_phrase(
+        idx, " ".join(_PHRASE_T), k=20, precision="float64"))
+
+
+# ---- multi-term rewrites (prefix/fuzzy/range; SURVEY §2.5 MTQ) --------------
+
+@_reg("prefix_query", f"""WITH {_PRELUDE}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tf WHERE term LIKE 'sp%'
+ORDER BY doc_id""")
+def _q_prefix(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    docs = (idx.postings.where(F.col("term").startswith("sp"))
+            .select("seg", F.explode("postings.docid").alias("docid"))
+            .distinct()
+            .join(idx.docmeta.select("seg", "docid", "key"), ["seg", "docid"]))
+    return docs.select(F.col("key").cast("long").alias("doc_id"),
+                       F.lit(1.0).alias("score"))
+
+
+@_reg("fuzzy_query", f"""WITH {_PRELUDE}
+SELECT doc_id, count(DISTINCT term)::BIGINT AS nterms
+FROM tf WHERE levenshtein(term, 'spork') <= 1
+GROUP BY doc_id ORDER BY doc_id""")
+def _q_fuzzy(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    matched = (idx.postings
+               .where(F.levenshtein(F.col("term"), F.lit("spork")) <= 1)
+               .select("seg", F.col("term"),
+                       F.explode("postings.docid").alias("docid")))
+    per_doc = matched.groupBy("seg", "docid").agg(
+        F.count_distinct("term").alias("nterms"))
+    return (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("nterms").cast("long").alias("nterms")))
+
+
+@_reg("range_query",
+      "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 200 AND 300")
+def _q_range(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .where(F.col("n_chars").between(200, 300))
+            .select("doc_id", "n_chars"))
+
+
+@_reg("match_all_count", "SELECT count(*) AS cnt FROM documents")
+def _q_matchall(spark, sf_dir):
+    return _docs(spark, sf_dir).agg(F.count("*").alias("cnt"))
+
+
+# ---- term dictionary / components (SURVEY §2.5 Solr components) -------------
+
+@_reg("terms_component", f"""WITH {_PRELUDE}
+SELECT term, count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf
+FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 20""")
+def _q_terms(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return (idx.postings.groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("ttf").cast("long").alias("ttf"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(20))
+
+
+@_reg("facet_field", f"""WITH {_PRELUDE}
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark') m
+JOIN documents d USING(doc_id)
+GROUP BY d.lang ORDER BY cnt DESC, lang""")
+def _q_facet(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    hits = (idx.postings.where(F.col("term") == "spark")
+            .select("seg", F.explode("postings.docid").alias("docid"))
+            .distinct()
+            .join(idx.docmeta.select("seg", "docid", "key"), ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id")))
+    return (hits.join(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+            .groupBy("lang").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lang")))
+
+
+@_reg("facet_range", """
+SELECT (n_chars // 100 * 100)::BIGINT AS bucket, count(*)::BIGINT AS cnt
+FROM documents GROUP BY bucket ORDER BY bucket""")
+def _q_facet_range(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .groupBy((F.floor(F.col("n_chars") / 100) * 100)
+                     .cast("long").alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("bucket"))
+
+
+@_reg("stats_component", """
+SELECT lang, count(*)::BIGINT AS cnt, min(n_chars) AS mn, max(n_chars) AS mx,
+       sum(n_chars)::BIGINT AS sm, round(avg(n_chars), 6) AS mean,
+       round(stddev_pop(n_chars), 6) AS sd
+FROM documents GROUP BY lang ORDER BY lang""")
+def _q_stats(spark, sf_dir):
+    return (_docs(spark, sf_dir).groupBy("lang").agg(
+        F.count("*").alias("cnt"), F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.sum("n_chars").cast("long").alias("sm"),
+        F.round(F.avg("n_chars"), 6).alias("mean"),
+        F.round(F.stddev_pop("n_chars"), 6).alias("sd"))
+        .orderBy("lang"))
+
+
+@_reg("grouping_topk", f"""WITH {_PRELUDE}, {_scored_cte(["spark", "join"])}
+SELECT lang, doc_id, rnk FROM (
+  SELECT d.lang, s.doc_id,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(s.s, 4) DESC, s.doc_id) AS rnk
+  FROM scored s JOIN documents d USING(doc_id)
+) WHERE rnk <= 2 ORDER BY lang, rnk""")
+def _q_group(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    scored, _sc = S.term_score_frame(idx, ["spark", "join"],
+                                     precision="float64")
+    per_doc = scored.groupBy("seg", "docid").agg(F.sum("score").alias("s"))
+    hits = (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id"), "s")
+            .join(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc(F.round(F.col("s"), 4)), F.asc("doc_id"))
+    return (hits.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 2)
+            .select("lang", "doc_id", F.col("rnk").cast("long").alias("rnk"))
+            .orderBy("lang", "rnk"))
+
+
+@_reg("sort_by_field", f"""WITH {_PRELUDE}
+SELECT m.doc_id, d.n_chars
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark') m
+JOIN documents d USING(doc_id)
+ORDER BY d.n_chars DESC, m.doc_id LIMIT 20""")
+def _q_sortfield(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    hits = (idx.postings.where(F.col("term") == "spark")
+            .select("seg", F.explode("postings.docid").alias("docid"))
+            .distinct()
+            .join(idx.docmeta.select("seg", "docid", "key"), ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id")))
+    return (hits.join(_docs(spark, sf_dir).select("doc_id", "n_chars"),
+                      "doc_id")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(20)
+            .select("doc_id", "n_chars"))
+
+
+@_reg("search_after_page2", f"""WITH {_PRELUDE}, {_scored_cte(["spark"])}
+SELECT doc_id, round(s, 4) AS score FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn BETWEEN 11 AND 20 ORDER BY rn""")
+def _q_page2(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    # cursor = last hit of page 1 (un-rounded score boundary)
+    raw = S.search_or(idx, "spark", k=10, precision="float64").collect()
+    after_score, after_key = raw[-1]["score"], raw[-1]["key"]
+    return _as_docid_score(S.search_after(
+        idx, "spark", 10, after_score, after_key, precision="float64"))
+
+
+# ---- joins & function queries ----------------------------------------------
+
+@_reg("join_query", f"""WITH {_PRELUDE}
+SELECT e.vec_id AS doc_id, e.label
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') m
+JOIN embeddings e ON e.vec_id = m.doc_id
+WHERE e.label < 5 ORDER BY doc_id""")
+def _q_join(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    hits = (idx.postings.where(F.col("term") == "vector")
+            .select("seg", F.explode("postings.docid").alias("docid"))
+            .distinct()
+            .join(idx.docmeta.select("seg", "docid", "key"), ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id")))
+    emb = _emb(spark, sf_dir).where(F.col("label") < 5)
+    return (hits.join(emb, hits.doc_id == emb.vec_id)
+            .select("doc_id", "label").orderBy("doc_id"))
+
+
+@_reg("function_query", f"""WITH {_PRELUDE}, {_scored_cte(["spark"])}
+SELECT s.doc_id, round(s.s + ln(1 + d.n_chars), 4) AS fscore
+FROM scored s JOIN documents d USING(doc_id)
+ORDER BY s.s + ln(1 + d.n_chars) DESC, s.doc_id LIMIT 20""")
+def _q_funcq(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    scored, _sc = S.term_score_frame(idx, ["spark"], precision="float64")
+    per_doc = scored.groupBy("seg", "docid").agg(F.sum("score").alias("s"))
+    hits = (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id"), "s")
+            .join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"))
+    fs = F.col("s") + F.log(F.lit(1).cast("double") + F.col("n_chars"))
+    return (hits.withColumn("_f", fs)
+            .orderBy(F.desc("_f"), F.asc("doc_id")).limit(20)
+            .select("doc_id", F.round(F.col("_f"), 4).alias("fscore")))
+
+
+@_reg("more_like_this", f"""WITH {_PRELUDE},
+mlt AS (
+  SELECT tf.term
+  FROM tf JOIN dfreq USING(term), cs
+  WHERE tf.doc_id = 0
+  ORDER BY tf.freq * ln(1 + (cs.max_doc - dfreq.df + 0.5::DOUBLE)/(dfreq.df + 0.5::DOUBLE))
+           DESC, tf.term
+  LIMIT 3
+),
+mscored AS (
+  SELECT tf.doc_id, SUM({_TERM_SCORE}) AS s
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN (SELECT term FROM mlt) AND tf.doc_id <> 0
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM mscored
+ORDER BY s DESC, doc_id LIMIT 20""")
+def _q_mlt(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    max_doc, _ = idx.collection_stats()
+    key0 = "0".rjust(10, "0")
+    # term rows of doc 0: explode only its segment's postings
+    tdoc0 = (idx.postings
+             .select("seg", "term", "df", F.explode("postings").alias("p"))
+             .join(idx.docmeta.where(F.col("key") == key0)
+                   .select("seg", F.col("docid").alias("d0")), "seg")
+             .where(F.col("p.docid") == F.col("d0")))
+    # global df per term (single-seg df may differ from global)
+    gdf = idx.postings.groupBy("term").agg(F.sum("df").alias("gdf"))
+    cand = (tdoc0.join(gdf, "term")
+            .withColumn("mltscore",
+                        F.col("p.freq").cast("double")
+                        * F.log(F.lit(1.0)
+                                + (F.lit(max_doc) - F.col("gdf") + F.lit(0.5))
+                                / (F.col("gdf") + F.lit(0.5))))
+            .orderBy(F.desc("mltscore"), F.asc("term"))
+            .limit(3))
+    terms = [r["term"] for r in cand.select("term").collect()]
+    scored, _sc = S.term_score_frame(idx, terms, precision="float64")
+    per_doc = scored.groupBy("seg", "docid").agg(F.sum("score").alias("score"))
+    out = (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
+                        ["seg", "docid"])
+           .where(F.col("key") != key0)
+           .select("key", "score")
+           .orderBy(F.desc("score"), F.asc("key")).limit(20))
+    return _as_docid_score(out)
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+from .operators import dedup as D          # noqa: E402
+from .operators import similarity as SIM   # noqa: E402
+from .operators import textstats as TS     # noqa: E402
+
+
+@_reg("dedup_exact", """
+SELECT md5(lower(text)) AS text_hash, count(*)::BIGINT AS cnt,
+       min(doc_id) AS keeper
+FROM documents GROUP BY md5(lower(text)) ORDER BY text_hash""")
+def _q_dedup_exact(spark, sf_dir):
+    return (D.exact_dedup_groups(_docs(spark, sf_dir))
+            .select("text_hash", F.col("cnt").cast("long").alias("cnt"),
+                    "keeper").orderBy("text_hash"))
+
+
+@_reg("dedup_minhash", f"""WITH {_PRELUDE},
+dt AS (SELECT DISTINCT doc_id, term FROM raw),
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || term)) AS sig_0, min(md5('1:' || term)) AS sig_1,
+         min(md5('2:' || term)) AS sig_2, min(md5('3:' || term)) AS sig_3
+  FROM dt GROUP BY doc_id
+)
+SELECT doc_id, md5(sig_0 || '|' || sig_1) AS band0,
+       md5(sig_2 || '|' || sig_3) AS band1
+FROM sig ORDER BY doc_id""")
+def _q_minhash(spark, sf_dir):
+    toks = D.ws_tokens(_docs(spark, sf_dir))
+    sig = D.minhash_signatures(toks, n_hashes=4)
+    return sig.select(
+        F.col("key").alias("doc_id"),
+        F.md5(F.concat_ws("|", "sig_0", "sig_1")).alias("band0"),
+        F.md5(F.concat_ws("|", "sig_2", "sig_3")).alias("band1"),
+    ).orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ",\n".join(
+        f"SUM(CASE WHEN (('0x' || substr(md5(term),1,4))::BIGINT >> {j}) & 1 = 1"
+        f" THEN freq ELSE -freq END) AS b{j}" for j in range(bits))
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
+    return f"""WITH {_PRELUDE},
+rawtf AS (SELECT doc_id, term, count(*) AS freq FROM raw GROUP BY doc_id, term),
+sums AS (SELECT doc_id, {bit_sums} FROM rawtf GROUP BY doc_id)
+SELECT doc_id, ({packed})::BIGINT AS simhash FROM sums ORDER BY doc_id"""
+
+
+@_reg("dedup_simhash", _simhash_sql())
+def _q_simhash(spark, sf_dir):
+    toks = D.ws_tokens(_docs(spark, sf_dir))
+    return (D.simhash(toks, bits=16)
+            .select(F.col("key").alias("doc_id"), "simhash")
+            .orderBy("doc_id"))
+
+
+@_reg("ngram_jaccard", f"""WITH {_PRELUDE},
+sh AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS shingle
+  FROM raw
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, 2) OVER w IS NOT NULL
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT inter.a, inter.b,
+       round(inter.i / (sa.sz + sb.sz - inter.i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b
+WHERE inter.i / (sa.sz + sb.sz - inter.i) >= 0.2
+ORDER BY a, b""")
+def _q_ngram_jaccard(spark, sf_dir):
+    toks = D.ws_tokens(_docs(spark, sf_dir))
+    return (D.ngram_jaccard_pairs(toks, n=3, threshold=0.2)
+            .orderBy("a", "b"))
+
+
+@_reg("embedding_cosine_topk", """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest((SELECT qe FROM q))::DOUBLE AS y
+  FROM embeddings e
+),
+dots AS (
+  SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
+FROM dots ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 10""")
+def _q_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return SIM.cosine_topk(emb, list(qvec), k=10)
+
+
+def _lsh_sql(n_planes: int = 8) -> str:
+    bits = " + ".join(
+        f"""(CASE WHEN SUM(CASE WHEN (('0x' || substr(md5({j} || ':' || (i-1)),1,2))::INT & 1) = 1
+                 THEN x ELSE -x END) > 0 THEN {2**j} ELSE 0 END)"""
+        for j in range(n_planes))
+    return f"""
+WITH pairs AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT vec_id, ({bits})::BIGINT AS bucket
+FROM pairs GROUP BY vec_id ORDER BY vec_id"""
+
+
+@_reg("ann_lsh_buckets", _lsh_sql())
+def _q_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    return (SIM.lsh_buckets(emb, dim, n_planes=8)
+            .orderBy("vec_id"))
+
+
+# ---- text analysis ----------------------------------------------------------
+
+_STOP_IN = _STOP_SQL
+
+
+@_reg("langid", f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(len(list_filter(toks, x -> x IN ({_STOP_IN})))
+             / len(toks), 6) AS en_ratio,
+       CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_IN})))
+                 / len(toks) > 0.05
+            THEN 'en' ELSE 'other' END AS pred
+FROM t ORDER BY doc_id""")
+def _q_langid(spark, sf_dir):
+    return TS.langid_en(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@_reg("quality_score", f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(0.5*(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+             + 0.3*(1.0 - len(list_filter(toks, x -> x IN ({_STOP_IN})))
+                    / CAST(len(toks) AS DOUBLE))
+             + 0.2*least(1.0, CAST(len(toks) AS DOUBLE) / 100.0), 6)
+         AS quality
+FROM t ORDER BY doc_id""")
+def _q_quality(spark, sf_dir):
+    return TS.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@_reg("token_count", """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT
+         AS n_ws,
+       len(regexp_extract_all(text, '[a-zA-Z]+'))::BIGINT AS n_alpha
+FROM documents ORDER BY doc_id""")
+def _q_tokcount(spark, sf_dir):
+    return TS.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@_reg("doc_fingerprint", f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     x -> x <> '' AND x NOT IN ({_STOP_IN})) AS toks
+  FROM documents
+)
+SELECT doc_id, md5(list_aggregate(toks, 'string_agg', ' ')) AS fp
+FROM t ORDER BY doc_id""")
+def _q_fingerprint(spark, sf_dir):
+    return TS.doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")

@@ -21,7 +21,6 @@ import pandas as pd
 
 from ..functions.htmlstrip import html_to_text
 from ..functions.smallfloat import doclen_to_norm
-from ..functions.tokenizer import analyze
 
 # Output schema of analyze_partition: one row per (doc, distinct term),
 # doc metadata repeated on each term row (docmeta is later distilled by a
@@ -35,7 +34,8 @@ EXTRACT_SCHEMA_SUFFIX = ", text STRING"
 
 
 def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
-                           with_positions: bool = True):
+                           with_positions: bool = True,
+                           analyzer: str = "english"):
     """Returns a mapInPandas function assigning segment-local docIDs.
 
     Input partitions MUST be sorted by ``key_col`` (the caller does
@@ -44,6 +44,9 @@ def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
     (SURVEY.md §7 P2 — reference docIDs are insertion-order artifacts, ours
     are sort-derived).
     """
+
+    from ..functions.tokenizer import get_analyzer
+    analyze_fn = get_analyzer(analyzer)
 
     def analyze_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         next_docid = 0  # running counter across Arrow batches of ONE partition
@@ -59,7 +62,7 @@ def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
             for i in range(n):
                 docid = next_docid
                 next_docid += 1
-                toks = analyze(texts[i] if texts[i] is not None else "")
+                toks = analyze_fn(texts[i] if texts[i] is not None else "")
                 doclen = len(toks)
                 norm = int(doclen_to_norm(doclen))
                 if doclen == 0:

@@ -1,0 +1,146 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All shapes are pure DataFrame ops (JVM-side, no Python UDFs):
+
+  * exact dedup           — hash-groupBy on normalized text
+  * MinHash + LSH         — shingle -> per-seed min-hash -> banded bucket
+                            join (Broder '97 resemblance sketches); hashes
+                            are md5-based so any engine reproduces them
+  * SimHash               — Charikar '02 sign-random-projection over term
+                            hashes, weighted by tf
+  * n-gram Jaccard        — token-shingle sets, candidate pairs by shared
+                            shingle, exact Jaccard on the candidates
+
+The reference's analogue is Solr's dedup update processors
+(``solr/.../update/processor/SignatureUpdateProcessorFactory`` with
+``Lookup3Signature``/``MD5Signature`` — SURVEY.md §2.10); MinHash/SimHash
+are the scale path those signatures hint at.
+
+The default tokenizer here is the SQL-parity whitespace split (see
+gate.py); pass ``tokens_df`` built from any analyzer for custom chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "ws_tokens", "exact_dedup_groups", "minhash_signatures",
+    "lsh_candidate_pairs", "simhash", "ngram_jaccard_pairs",
+]
+
+
+def ws_tokens(docs: DataFrame, key_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(key, term, pos) — whitespace split + lowercase, empties dropped.
+    Positions are 0-based raw indices."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != F.lit(""))
+    return (docs.select(F.col(key_col).alias("key"),
+                        F.posexplode(toks).alias("pos", "term")))
+
+
+def exact_dedup_groups(docs: DataFrame, key_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(text_hash, cnt, keeper): one row per distinct normalized text;
+    ``keeper`` = min key (the canonical survivor). Exact dedup = keep only
+    keeper rows. One shuffle on the hash."""
+    return (docs.groupBy(F.md5(F.lower(F.col(text_col))).alias("text_hash"))
+            .agg(F.count("*").alias("cnt"),
+                 F.min(key_col).alias("keeper")))
+
+
+def minhash_signatures(tokens: DataFrame, n_hashes: int = 4) -> DataFrame:
+    """(key, sig_0..sig_{n-1}): per-seed minimum of md5(seed:term) over the
+    doc's DISTINCT terms — a resemblance sketch.  Aggregation is a single
+    groupBy with n min() columns (map-side combinable, skew-free)."""
+    distinct_terms = tokens.select("key", "term").distinct()
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("term"))))
+        .alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return distinct_terms.groupBy("key").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature columns, bucket-join docs sharing any band hash.
+    Returns (a, b, band) candidate pairs with a < b.  The join is on the
+    band hash — at scale AQE splits hot buckets (boilerplate-heavy shingle
+    sets are the classic skew source)."""
+    sig_cols = [c for c in signatures.columns if c.startswith("sig_")]
+    bands = []
+    for bi in range(0, len(sig_cols), rows_per_band):
+        cols = sig_cols[bi:bi + rows_per_band]
+        bands.append(
+            signatures.select(
+                "key",
+                F.lit(bi // rows_per_band).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right, (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.key") < F.col("r.key")))
+            .select(F.col("l.key").alias("a"), F.col("r.key").alias("b"),
+                    F.col("l.band").alias("band"))
+            .distinct())
+
+
+def simhash(tokens: DataFrame, bits: int = 16) -> DataFrame:
+    """(key, simhash): Charikar sign-random-projection.  Each term's hash
+    contributes tf * (+/-1) per bit; bit set iff the weighted sum > 0.
+
+    The term hash is the first 4 hex chars of md5(term) (16 bits), so the
+    whole computation is reproducible in ANSI SQL."""
+    if bits > 16:
+        raise ValueError("bits <= 16 (term hash uses 4 hex chars)")
+    tf = tokens.groupBy("key", "term").agg(F.count("*").alias("freq"))
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
+    tf = tf.withColumn("h", h)
+    bit_aggs = []
+    for j in range(bits):
+        contrib = F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
+                         F.col("freq")).otherwise(-F.col("freq"))
+        bit_aggs.append(F.sum(contrib).alias(f"b{j}"))
+    sums = tf.groupBy("key").agg(*bit_aggs)
+    sh = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sh = bit if sh is None else sh + bit
+    return sums.select("key", sh.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(tokens: DataFrame, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """(a, b, jaccard): exact token-n-gram Jaccard over candidate pairs that
+    share >= 1 shingle.  Shingles from the ordered token stream (lead
+    window); candidate generation is a self-join on shingle — the
+    "bucket-join" stage of the classic near-dup pipeline."""
+    w = Window.partitionBy("key").orderBy("pos")
+    sh = tokens
+    cols = [F.col("term")]
+    for i in range(1, n):
+        sh = sh.withColumn(f"t{i}", F.lead("term", i).over(w))
+        cols.append(F.col(f"t{i}"))
+    shingles = (sh.where(F.col(f"t{n-1}").isNotNull())
+                .select("key", F.concat_ws(" ", *cols).alias("shingle"))
+                .distinct())
+    sizes = shingles.groupBy("key").agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.key") < F.col("b.key")))
+             .groupBy(F.col("a.key").alias("a"), F.col("b.key").alias("b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("key").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("key").alias("b"), F.col("sz").alias("szb"))
+    return (inter.join(sa, "a").join(sb, "b")
+            .withColumn("jaccard",
+                        F.col("inter").cast("double")
+                        / (F.col("sza") + F.col("szb") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))

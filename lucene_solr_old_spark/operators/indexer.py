@@ -46,6 +46,7 @@ class InvertedIndex:
     docmeta: DataFrame
     segstats: DataFrame
     with_positions: bool = True
+    analyzer: str = "english"
     _stats: tuple | None = field(default=None, repr=False)
 
     def collection_stats(self) -> tuple[int, int]:
@@ -114,6 +115,7 @@ def build_index(
     with_positions: bool = True,
     salt_partitions: int = 0,
     html_col: str | None = None,
+    analyzer: str = "english",
 ) -> InvertedIndex:
     """Build the inverted index. ``salt_partitions > 0`` enables the
     two-phase salted aggregation for head-term skew."""
@@ -136,7 +138,8 @@ def build_index(
         .withColumn("seg", F.spark_partition_id())
     )
     termdoc = parted.mapInPandas(
-        make_analyze_partition("key", "text", with_positions=with_positions),
+        make_analyze_partition("key", "text", with_positions=with_positions,
+                               analyzer=analyzer),
         schema=TERMDOC_SCHEMA,
     )
 
@@ -185,4 +188,4 @@ def build_index(
         F.count("*").alias("max_doc"),
         F.sum("doclen").alias("sum_ttf"),
     )
-    return InvertedIndex(postings, docmeta, segstats, with_positions)
+    return InvertedIndex(postings, docmeta, segstats, with_positions, analyzer)

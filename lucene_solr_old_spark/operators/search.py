@@ -36,17 +36,26 @@ only reproducible up to addition order; ranks are tie-broken by doc key.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.bm25 import Bm25Stats
-from ..functions.tokenizer import analyze_terms
+from ..functions.smallfloat import byte315_to_float
+from ..functions.tokenizer import get_analyzer
 from .indexer import InvertedIndex
 
 __all__ = [
     "term_score_frame", "search_terms", "search_or", "search_and",
     "search_dismax", "search_phrase", "count_query", "search_after",
 ]
+
+
+def _qterms(index: InvertedIndex, query_text: str) -> list[str]:
+    """Analyze query text with the index's own analyzer (Lucene parses
+    queries through the per-field analyzer)."""
+    return [t.term for t in get_analyzer(index.analyzer)(query_text)]
 
 
 def _cache_array(stats: Bm25Stats) -> Column:
@@ -59,17 +68,91 @@ def _norm_factor(stats: Bm25Stats) -> Column:
     return F.element_at(_cache_array(stats), F.col("norm") + 1)
 
 
+# --- float64 "oracle precision" variant ------------------------------------
+# Same BM25 with the same norm QUANTIZATION (doc length still passes through
+# the lossy byte), but all arithmetic in float64 with a fixed operation
+# order, so an ANSI-SQL engine (the DuckDB correctness oracle) can reproduce
+# scores bit-for-bit up to libm ulp differences.  The float32 path above is
+# the rank-identity path vs the reference.
+
+LQ64: list[float] = [
+    float("inf") if b == 0 else 1.0 / (float(byte315_to_float(b)) * float(byte315_to_float(b)))
+    for b in range(256)
+]
+
+
+def idf64(df: int, max_doc: int) -> float:
+    return math.log(1.0 + (max_doc - df + 0.5) / (df + 0.5))
+
+
+def cache64(avg_dl: float, k1: float = 1.2, b: float = 0.75) -> list[float]:
+    # operation order mirrored in the oracle SQL: k1*((1-b) + (b*lq)/avgdl)
+    return [k1 * ((1.0 - b) + (b * lq) / avg_dl) for lq in LQ64]
+
+
+class _Scorer:
+    """Per-query scoring state for either precision path."""
+
+    def __init__(self, index: InvertedIndex, terms: list[str],
+                 precision: str = "float32", boost: float = 1.0):
+        max_doc, sum_ttf = index.collection_stats()
+        self.precision = precision
+        self.stats = Bm25Stats(max_doc, sum_ttf)
+        self.tstats = index.term_stats(terms)
+        self.terms = terms
+        if precision == "float64":
+            self.avgdl64 = sum_ttf / max_doc if max_doc else 1.0
+            self._cache = cache64(self.avgdl64)
+            self._weights = {
+                t: boost * (idf64(self.tstats.get(t, (0, 0))[0], max_doc) * 2.2)
+                for t in set(terms)
+            }
+            self._sqltype = "double"
+        else:
+            self._cache = [float(c) for c in self.stats.cache]
+            self._weights = {
+                t: float(self.stats.weight_value(self.tstats.get(t, (0, 0))[0],
+                                                 boost))
+                for t in set(terms)
+            }
+            self._sqltype = "float"
+
+    def norm_factor(self) -> Column:
+        arr = F.array(*[F.lit(c).cast(self._sqltype) for c in self._cache])
+        return F.element_at(arr, F.col("norm") + 1)
+
+    def weight_map(self) -> Column:
+        return F.create_map(*[
+            x for t, w in self._weights.items()
+            for x in (F.lit(t), F.lit(w).cast(self._sqltype))
+        ])
+
+    def score_col(self) -> Column:
+        freq = F.col("freq").cast(self._sqltype)
+        return (self.weight_map()[F.col("term")] * freq) / (freq + self.norm_factor())
+
+    def phrase_weight(self) -> float:
+        """Summed idf * (k1+1), accumulated in this precision, term order."""
+        if self.precision == "float64":
+            s = 0.0
+            for t in self.terms:
+                s = s + idf64(self.tstats.get(t, (0, 0))[0], self.stats.max_doc)
+            return s * 2.2
+        s32 = np.float32(0.0)
+        for t in self.terms:
+            s32 = s32 + self.stats.idf(self.tstats.get(t, (0, 0))[0])
+        return float(s32 * (self.stats.k1 + np.float32(1.0)))
+
+
 def term_score_frame(index: InvertedIndex, terms: list[str],
-                     boost: float = 1.0) -> tuple[DataFrame, Bm25Stats]:
+                     boost: float = 1.0,
+                     precision: str = "float32") -> tuple[DataFrame, _Scorer]:
     """(seg, docid, term, freq, norm, score) for every posting of ``terms``.
 
-    score = weightValue * freq / (freq + cache[norm]) in float32
+    score = weightValue * freq / (freq + cache[norm])
     (``BM25Similarity.java:233-238``), weightValue per-term from global df.
     """
-    max_doc, sum_ttf = index.collection_stats()
-    stats = Bm25Stats(max_doc, sum_ttf)
-    tstats = index.term_stats(terms)
-
+    scorer = _Scorer(index, terms, precision, boost)
     matched = index.postings.where(F.col("term").isin(list(set(terms))))
     exploded = matched.select(
         "seg", "term",
@@ -80,27 +163,19 @@ def term_score_frame(index: InvertedIndex, terms: list[str],
         F.col("p.freq").alias("freq"),
         F.col("p.norm").alias("norm"),
     )
-    # per-term weightValue = boost * idf * (k1+1), float32, from GLOBAL df
-    weight_map = F.create_map(*[
-        x for t in set(terms)
-        for x in (F.lit(t),
-                  F.lit(float(stats.weight_value(tstats.get(t, (0, 0))[0], boost))))
-    ])
-    scored = exploded.withColumn(
-        "score",
-        (weight_map[F.col("term")].cast("float") * F.col("freq").cast("float"))
-        / (F.col("freq").cast("float") + _norm_factor(stats)),
-    )
-    return scored, stats
+    scored = exploded.withColumn("score", scorer.score_col())
+    return scored, scorer
 
 
-def _topk(per_doc: DataFrame, index: InvertedIndex, k: int) -> DataFrame:
+def _topk(per_doc: DataFrame, index: InvertedIndex, k: int,
+          precision: str = "float32") -> DataFrame:
     """Collector: join back doc keys (late materialization — the
     PURPOSE_GET_FIELDS second round of SURVEY.md §3.3) and take top-k."""
+    stype = "double" if precision == "float64" else "float"
     with_keys = per_doc.join(
         index.docmeta.select("seg", "docid", "key"), ["seg", "docid"])
     return (
-        with_keys.select("key", F.col("score").cast("float").alias("score"))
+        with_keys.select("key", F.col("score").cast(stype).alias("score"))
         .orderBy(F.desc("score"), F.asc("key"))
         .limit(k)
     )
@@ -108,15 +183,16 @@ def _topk(per_doc: DataFrame, index: InvertedIndex, k: int) -> DataFrame:
 
 def search_terms(index: InvertedIndex, query_text: str, mode: str = "OR",
                  k: int = 10, min_should_match: int = 0,
-                 exclude_text: str | None = None) -> DataFrame:
+                 exclude_text: str | None = None,
+                 precision: str = "float32") -> DataFrame:
     """Analyze ``query_text`` with the same chain as indexing (Lucene parses
     queries through the index analyzer), then run OR/AND with optional
     MUST_NOT and minimum-should-match. Returns top-k (key, score)."""
-    terms = analyze_terms(query_text)
+    terms = _qterms(index, query_text)
     if not terms:
         return index.docmeta.select(
             F.col("key"), F.lit(0.0).cast("float").alias("score")).limit(0)
-    scored, _ = term_score_frame(index, terms)
+    scored, _ = term_score_frame(index, terms, precision=precision)
 
     agg = scored.groupBy("seg", "docid").agg(
         F.sum("score").alias("score"),
@@ -129,7 +205,7 @@ def search_terms(index: InvertedIndex, query_text: str, mode: str = "OR",
         agg = agg.where(F.col("nmatched") >= min_should_match)
 
     if exclude_text:
-        ex_terms = analyze_terms(exclude_text)
+        ex_terms = _qterms(index, exclude_text)
         if ex_terms:
             ex_docs = (
                 index.postings.where(F.col("term").isin(ex_terms))
@@ -137,32 +213,35 @@ def search_terms(index: InvertedIndex, query_text: str, mode: str = "OR",
                 .distinct()
             )
             agg = agg.join(ex_docs, ["seg", "docid"], "left_anti")
-    return _topk(agg, index, k)
+    return _topk(agg, index, k, precision)
 
 
-def search_or(index: InvertedIndex, query_text: str, k: int = 10) -> DataFrame:
-    return search_terms(index, query_text, "OR", k)
+def search_or(index: InvertedIndex, query_text: str, k: int = 10,
+              precision: str = "float32") -> DataFrame:
+    return search_terms(index, query_text, "OR", k, precision=precision)
 
 
-def search_and(index: InvertedIndex, query_text: str, k: int = 10) -> DataFrame:
-    return search_terms(index, query_text, "AND", k)
+def search_and(index: InvertedIndex, query_text: str, k: int = 10,
+               precision: str = "float32") -> DataFrame:
+    return search_terms(index, query_text, "AND", k, precision=precision)
 
 
 def search_dismax(index: InvertedIndex, query_text: str, k: int = 10,
-                  tie_breaker: float = 0.0) -> DataFrame:
+                  tie_breaker: float = 0.0,
+                  precision: str = "float32") -> DataFrame:
     """score = max(sub) + tie * (sum(sub) - max(sub))
     (``search/DisjunctionMaxQuery.java``)."""
-    terms = analyze_terms(query_text)
-    scored, _ = term_score_frame(index, terms)
+    terms = _qterms(index, query_text)
+    scored, _ = term_score_frame(index, terms, precision=precision)
     agg = scored.groupBy("seg", "docid").agg(
         (F.max("score")
          + F.lit(tie_breaker) * (F.sum("score") - F.max("score"))).alias("score"))
-    return _topk(agg, index, k)
+    return _topk(agg, index, k, precision)
 
 
 def count_query(index: InvertedIndex, query_text: str, mode: str = "OR") -> int:
     """TotalHitCountCollector (``search/TotalHitCountCollector.java``)."""
-    terms = analyze_terms(query_text)
+    terms = _qterms(index, query_text)
     if not terms:
         return 0
     matched = (
@@ -179,12 +258,12 @@ def count_query(index: InvertedIndex, query_text: str, mode: str = "OR") -> int:
 
 def search_after(index: InvertedIndex, query_text: str, k: int,
                  after_score: float, after_key: str,
-                 mode: str = "OR") -> DataFrame:
+                 mode: str = "OR", precision: str = "float32") -> DataFrame:
     """Cursor pagination: hits strictly after (score, key) in rank order
     (``search/IndexSearcher.java:234-250,351-416``)."""
     # over-fetch then filter — the frame is lazy so only the filter survives
-    terms = analyze_terms(query_text)
-    scored, _ = term_score_frame(index, terms)
+    terms = _qterms(index, query_text)
+    scored, _ = term_score_frame(index, terms, precision=precision)
     agg = scored.groupBy("seg", "docid").agg(
         F.sum("score").alias("score"),
         F.count_distinct("term").alias("nmatched"))
@@ -192,7 +271,7 @@ def search_after(index: InvertedIndex, query_text: str, k: int,
         agg = agg.where(F.col("nmatched") == len(set(terms)))
     with_keys = agg.join(index.docmeta.select("seg", "docid", "key"),
                          ["seg", "docid"])
-    cast = F.col("score").cast("float")
+    cast = F.col("score").cast("double" if precision == "float64" else "float")
     after = (cast < F.lit(after_score)) | (
         (cast == F.lit(after_score)) & (F.col("key") > F.lit(after_key)))
     return (
@@ -203,29 +282,26 @@ def search_after(index: InvertedIndex, query_text: str, k: int,
     )
 
 
-def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10) -> DataFrame:
+def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10,
+                  precision: str = "float32") -> DataFrame:
     """Exact phrase (slop=0): per-doc alignment count of consecutive
     positions == phrase freq; BM25 with summed idf
     (``search/ExactPhraseScorer.java:26-33``; ``PhraseQuery.java:279-283``).
     """
     if not index.with_positions:
         raise ValueError("index built without positions")
-    terms = analyze_terms(phrase_text)
+    terms = _qterms(index, phrase_text)
     if not terms:
         return index.docmeta.select(
             F.col("key"), F.lit(0.0).cast("float").alias("score")).limit(0)
     if len(terms) == 1:
-        return search_terms(index, phrase_text, "OR", k)
+        return search_terms(index, phrase_text, "OR", k, precision=precision)
 
-    max_doc, sum_ttf = index.collection_stats()
-    stats = Bm25Stats(max_doc, sum_ttf)
-    tstats = index.term_stats(terms)
-    # summed idf over the phrase's terms, float32 accumulation order = term
-    # order (BM25Similarity.idfExplain(TermStatistics[]))
-    idf_sum = np.float32(0.0)
-    for t in terms:
-        idf_sum = idf_sum + stats.idf(tstats.get(t, (0, 0))[0])
-    weight_value = float(idf_sum * (stats.k1 + np.float32(1.0)))
+    scorer = _Scorer(index, terms, precision)
+    # summed idf over the phrase's terms, accumulated in term order
+    # (BM25Similarity.idfExplain(TermStatistics[]))
+    weight_value = scorer.phrase_weight()
+    stype = "double" if precision == "float64" else "float"
 
     # per position-slot i: docs containing terms[i], positions shifted by -i
     # (ExactPhraseScorer checks pos_i == base + i; shifting makes the check
@@ -266,7 +342,7 @@ def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10) -> DataFr
 
     scored = inter.withColumn(
         "score",
-        (F.lit(weight_value).cast("float") * F.col("pfreq").cast("float"))
-        / (F.col("pfreq").cast("float") + _norm_factor(stats)),
+        (F.lit(weight_value).cast(stype) * F.col("pfreq").cast(stype))
+        / (F.col("pfreq").cast(stype) + scorer.norm_factor()),
     ).select("seg", "docid", "score")
-    return _topk(scored, index, k)
+    return _topk(scored, index, k, precision)

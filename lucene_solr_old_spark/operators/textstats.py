@@ -1,0 +1,82 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — the per-document scoring passes of a training-data
+pipeline.  All Catalyst expressions (JVM, codegen'd); no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.stopwords import ENGLISH_STOP_WORDS
+
+__all__ = ["token_counts", "langid_en", "quality_score", "doc_fingerprint"]
+
+def _stop_arr():
+    # built lazily: Column literals need an active SparkContext
+    return F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+
+
+def _ws_toks(text_col):
+    return F.filter(F.split(F.lower(text_col), " "), lambda x: x != F.lit(""))
+
+
+def token_counts(docs: DataFrame, key_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(key, n_ws, n_alpha): whitespace token count + alphabetic-run count
+    (the BPE-ish regex proxy)."""
+    return docs.select(
+        F.col(key_col),
+        F.size(_ws_toks(F.col(text_col))).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-zA-Z]+"), 0))
+        .cast("long").alias("n_alpha"),
+    )
+
+
+def langid_en(docs: DataFrame, key_col: str = "doc_id",
+              text_col: str = "text",
+              threshold: float = 0.05) -> DataFrame:
+    """(key, en_ratio, pred): English-stopword-ratio heuristic language ID.
+    en_ratio = |stopword tokens| / |tokens| (rounded 6)."""
+    toks = _ws_toks(F.col(text_col))
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(_stop_arr(), x)))
+    ratio = F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(key_col),
+        F.round(ratio, 6).alias("en_ratio"),
+        F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("other"))
+        .alias("pred"),
+    )
+
+
+def quality_score(docs: DataFrame, key_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(key, quality): composite heuristic — type/token ratio, non-stopword
+    ratio, length saturation.  quality =
+    round(0.5*uniq_ratio + 0.3*(1 - stop_ratio) + 0.2*least(1, n/100), 6)."""
+    toks = _ws_toks(F.col(text_col))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(_stop_arr(), x)))
+    nn = n.cast("double")
+    q = (F.lit(0.5) * (nd.cast("double") / nn)
+         + F.lit(0.3) * (F.lit(1.0) - n_stop.cast("double") / nn)
+         + F.lit(0.2) * F.least(F.lit(1.0), nn / F.lit(100.0)))
+    return docs.select(
+        F.col(key_col),
+        F.when(n > 0, F.round(q, 6)).otherwise(F.lit(0.0)).alias("quality"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, key_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(key, fp): md5 of the normalized (lowercased, stopword-stripped,
+    whitespace-joined) token stream — the content fingerprint used for
+    near-canonical dedup (the Solr MD5Signature analogue over the analyzed
+    stream instead of the raw field)."""
+    toks = _ws_toks(F.col(text_col))
+    kept = F.filter(toks, lambda x: ~F.array_contains(_stop_arr(), x))
+    return docs.select(
+        F.col(key_col),
+        F.md5(F.concat_ws(" ", kept)).alias("fp"),
+    )
