@@ -1,0 +1,129 @@
+"""Benchmark harness: index-build throughput + headline query latencies.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": <sf>, ...extras}
+
+Stages:
+  * build_pages  — synthesize N Common-Crawl-style pages (html binary) and
+    build the full-chain index (html->text extraction, EnglishAnalyzer,
+    inversion, posting-list aggregation) — the north-star indexing path;
+    throughput reported as docs_per_sec.
+  * build_docs   — index the sf documents table (ws_stop chain).
+  * q_*          — BM25 query latencies over the documents index.
+  * pipeline ops — minhash dedup + cosine top-k timings.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_DOCS (default 20000 synthetic pages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lucene_solr_old_spark.session import get_spark  # noqa: E402
+from lucene_solr_old_spark.operators.indexer import build_index  # noqa: E402
+from lucene_solr_old_spark.operators import search as S  # noqa: E402
+from lucene_solr_old_spark.operators import dedup as D  # noqa: E402
+from lucene_solr_old_spark.operators import similarity as SIM  # noqa: E402
+from lucene_solr_old_spark.sources.pages import pages_dataframe  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": cpus, "n_pages": n_pages}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- stage 1: full-chain index build over synthetic pages -------------
+    pages = pages_dataframe(spark, n_pages, seed=42,
+                            num_partitions=cpus * 2).persist()
+    pages.count()  # materialize generation outside the timed window
+
+    def build_pages():
+        idx = build_index(pages, key_col="url", html_col="html",
+                          num_segments=cpus, analyzer="english",
+                          salt_partitions=8)
+        # force full materialization of postings + docmeta
+        n_terms = idx.postings.count()
+        n_docs, sum_ttf = idx.collection_stats()
+        extras["pages_index"] = {"segments": cpus, "terms": n_terms,
+                                 "docs": n_docs, "sum_ttf": sum_ttf}
+        return idx
+
+    pidx = timed("build_pages", build_pages)
+    extras["docs_per_sec"] = round(n_pages / timings["build_pages"], 1)
+
+    # --- stage 2: documents-table index + headline queries ----------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+        "text").persist()
+    n_docs = docs.count()
+    extras["sf_docs"] = n_docs
+
+    def build_docs():
+        idx = build_index(docs, key_col="doc_key", text_col="text",
+                          num_segments=min(cpus, 16), analyzer="ws_stop")
+        idx = idx.persist()
+        idx.postings.count()
+        idx.docmeta.count()
+        idx.collection_stats()
+        return idx
+
+    idx = timed("build_docs", build_docs)
+
+    timed("q_term", lambda: S.search_or(idx, "spark", k=10).collect())
+    timed("q_or", lambda: S.search_or(idx, "spark join merge", k=10).collect())
+    timed("q_and", lambda: S.search_and(idx, "spark join", k=10).collect())
+    timed("q_phrase", lambda: S.search_phrase(idx, "batch batch", k=10).collect())
+    timed("q_dismax",
+          lambda: S.search_dismax(idx, "spark join", k=10,
+                                  tie_breaker=0.3).collect())
+
+    # pages-index query (english chain, bigger corpus)
+    timed("q_pages_or",
+          lambda: S.search_or(pidx, "running meetings", k=10).collect())
+
+    # --- stage 3: pipeline ops --------------------------------------------
+    toks = D.ws_tokens(docs, key_col="doc_key", text_col="text")
+    timed("minhash_lsh", lambda: D.lsh_candidate_pairs(
+        D.minhash_signatures(toks)).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.where(F.col("vec_id") == 0)
+                .select("embedding").first()[0])
+    timed("cosine_topk", lambda: SIM.cosine_topk(emb, qvec, k=10).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "index_build_plus_query_bench",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -83,20 +83,34 @@ class InvertedIndex:
         """Segment-per-partition persistent layout: postings partitioned by
         seg (the Iceberg-style 'segment = partition' model, SURVEY.md §1.1).
         """
+        import json
+
         self.postings.write.mode(mode).partitionBy("seg").parquet(
             os.path.join(path, "postings"))
         self.docmeta.write.mode(mode).partitionBy("seg").parquet(
             os.path.join(path, "docmeta"))
         self.segstats.write.mode(mode).parquet(os.path.join(path, "segstats"))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "index_meta.json"), "w") as f:
+            json.dump({"analyzer": self.analyzer,
+                       "with_positions": self.with_positions,
+                       "compressed": "blocks" in self.postings.columns}, f)
 
 
-def load_index(spark: SparkSession, path: str,
-               with_positions: bool = True) -> InvertedIndex:
+def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+    import json
+
+    meta_path = os.path.join(path, "index_meta.json")
+    meta = {"analyzer": "english", "with_positions": True}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
     return InvertedIndex(
         postings=spark.read.parquet(os.path.join(path, "postings")),
         docmeta=spark.read.parquet(os.path.join(path, "docmeta")),
         segstats=spark.read.parquet(os.path.join(path, "segstats")),
-        with_positions=with_positions,
+        with_positions=meta["with_positions"],
+        analyzer=meta["analyzer"],
     )
 
 
@@ -189,3 +203,51 @@ def build_index(
         F.sum("doclen").alias("sum_ttf"),
     )
     return InvertedIndex(postings, docmeta, segstats, with_positions, analyzer)
+
+
+def compress_index(index: InvertedIndex) -> InvertedIndex:
+    """Encode posting arrays into varbyte blocks with skip/max-impact
+    metadata (codec.py) — the persistent, query-kernel-ready layout.
+
+    The heavy lifting stays columnar: posting structs are converted to
+    parallel primitive arrays with Catalyst `transform`/`flatten` (Arrow
+    hands the UDF NumPy arrays, not dicts), then a mapInPandas stage runs
+    the vectorized encoder.  No shuffle — encoding is partition-local.
+    """
+    import pandas as pd
+
+    from .codec import BLOCKS_SCHEMA, encode_blocks
+
+    p = index.postings
+    wp = index.with_positions
+    cols = [
+        F.col("seg"), F.col("term"), F.col("df"), F.col("ttf"),
+        F.transform("postings", lambda x: x["docid"]).alias("docids"),
+        F.transform("postings", lambda x: x["freq"]).alias("freqs"),
+        F.transform("postings", lambda x: x["norm"]).alias("norms"),
+    ]
+    if wp:
+        cols.append(F.flatten(
+            F.transform("postings", lambda x: x["positions"])).alias("posflat"))
+    arrays = p.select(*cols)
+
+    out_schema = (f"seg INT, term STRING, df INT, ttf LONG, "
+                  f"blocks {BLOCKS_SCHEMA}")
+
+    def encode_rows(batches):
+        for pdf in batches:
+            blocks_col = []
+            for i in range(len(pdf)):
+                pos = pdf["posflat"].iloc[i] if wp else None
+                blocks_col.append(encode_blocks(
+                    pdf["docids"].iloc[i], pdf["freqs"].iloc[i],
+                    pdf["norms"].iloc[i], pos))
+            yield pd.DataFrame({
+                "seg": pdf["seg"], "term": pdf["term"],
+                "df": pdf["df"], "ttf": pdf["ttf"],
+                "blocks": blocks_col,
+            })
+
+    compressed = arrays.mapInPandas(encode_rows, schema=out_schema)
+    return InvertedIndex(compressed, index.docmeta, index.segstats,
+                         index.with_positions, index.analyzer)
