@@ -663,3 +663,58 @@ SELECT doc_id, md5(list_aggregate(toks, 'string_agg', ' ')) AS fp
 FROM t ORDER BY doc_id""")
 def _q_fingerprint(spark, sf_dir):
     return TS.doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---- boolean parser / kernel / multimodal -----------------------------------
+
+from .plans.query import execute as _execute_bool  # noqa: E402
+from .operators.multimodal import sniff_media_meta  # noqa: E402
+
+
+@_reg("bool_parser", f"""WITH {_PRELUDE},
+scored AS (
+  SELECT tf.doc_id, SUM({_TERM_SCORE}) AS s,
+         SUM(CASE WHEN tf.term = 'spark' THEN 1 ELSE 0 END) AS has_must
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('spark','join')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+WHERE has_must >= 1
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')
+ORDER BY s DESC, doc_id LIMIT 20""")
+def _q_parser(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(_execute_bool(
+        idx, "+spark join -vector", k=20, precision="float64"))
+
+
+@_reg("wand_topk", None)  # float32 kernel path: rows-only check (the
+# float64 relational twin `term_query`/`bool_or` carries the value oracle;
+# kernel-vs-relational equality is pytest-verified in tests/test_wand.py)
+def _q_wand(spark, sf_dir):
+    from .operators.indexer import compress_index
+    from .operators.wand import wand_search
+
+    key = sf_dir + "::compressed"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = compress_index(doc_index(spark, sf_dir)).persist()
+    cidx = _INDEX_CACHE[key]
+    return wand_search(cidx, "spark join merge", k=20).select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.round(F.col("score").cast("double"), 3).alias("score"))
+
+
+@_reg("multimodal_meta", """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       'unknown' AS format, 'binary' AS kind
+FROM documents ORDER BY doc_id""")
+def _q_multimodal(spark, sf_dir):
+    payloads = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode("text", "utf-8").alias("payload"))
+    meta = sniff_media_meta(payloads)
+    return meta.select(F.col("key").cast("long").alias("doc_id"),
+                       "n_bytes", "format", "kind").orderBy("doc_id")

@@ -35,7 +35,8 @@ EXTRACT_SCHEMA_SUFFIX = ", text STRING"
 
 def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
                            with_positions: bool = True,
-                           analyzer: str = "english"):
+                           analyzer: str = "english",
+                           html_input: bool = False):
     """Returns a mapInPandas function assigning segment-local docIDs.
 
     Input partitions MUST be sorted by ``key_col`` (the caller does
@@ -62,7 +63,12 @@ def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
             for i in range(n):
                 docid = next_docid
                 next_docid += 1
-                toks = analyze_fn(texts[i] if texts[i] is not None else "")
+                raw = texts[i]
+                if html_input:
+                    # extraction fused into this pass: one Python stage,
+                    # html bytes never cross a second Arrow boundary
+                    raw = html_to_text(raw) if raw is not None else ""
+                toks = analyze_fn(raw if raw is not None else "")
                 doclen = len(toks)
                 norm = int(doclen_to_norm(doclen))
                 if doclen == 0:

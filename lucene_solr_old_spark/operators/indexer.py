@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .analysis import TERMDOC_SCHEMA, make_analyze_partition, make_html_extractor
+from .analysis import TERMDOC_SCHEMA, make_analyze_partition
 
 __all__ = ["InvertedIndex", "build_index", "load_index"]
 
@@ -132,40 +132,63 @@ def build_index(
     analyzer: str = "english",
 ) -> InvertedIndex:
     """Build the inverted index. ``salt_partitions > 0`` enables the
-    two-phase salted aggregation for head-term skew."""
-    cols = [F.col(key_col).alias("key")]
-    if html_col is not None:
-        docs = docs.withColumnRenamed(key_col, "key") if key_col != "key" else docs
-        docs = docs.select("key", F.col(html_col).alias("html"))
-        docs = docs.mapInPandas(
-            make_html_extractor("html"),
-            schema="key STRING, html BINARY, text STRING")
-        base = docs.select("key", "text")
-    else:
-        base = docs.select(*cols, F.col(text_col).alias("text"))
+    two-phase salted aggregation for head-term skew.
 
-    # segment assignment: range partition by key => (seg, docid) order is the
-    # global key order, so docID-based tie-breaks equal key-based ones.
+    Plan shape (one shuffle total):
+      1. hash-repartition by doc key (deterministic for a fixed
+         ``num_segments`` under any input parallelism — the murmur3 doc
+         routing analogue) + sortWithinPartitions(key): segment membership
+         and segment-local docID (= key rank) are reproducible;
+      2. ONE fused Arrow stage per partition: [html->text] -> analyze ->
+         local inversion -> term-doc rows (analysis.py);
+      3. docmeta distilled by a partition-LOCAL dedup (no shuffle — a doc's
+         rows never leave their partition);
+      4. the single build shuffle: groupBy(seg, term) aggregating
+         docID-sorted posting arrays; doc-key/doclen columns are dropped
+         before the exchange so only (seg, docid, term, freq, norm,
+         positions) bytes move.
+    """
+    if html_col is not None:
+        base = docs.select(F.col(key_col).alias("key"),
+                           F.col(html_col).alias("text"))
+        html_input = True
+    else:
+        base = docs.select(F.col(key_col).alias("key"),
+                           F.col(text_col).alias("text"))
+        html_input = False
+
     parted = (
-        base.repartitionByRange(num_segments, "key")
+        base.repartition(num_segments, "key")
         .sortWithinPartitions("key")
         .withColumn("seg", F.spark_partition_id())
     )
     termdoc = parted.mapInPandas(
         make_analyze_partition("key", "text", with_positions=with_positions,
-                               analyzer=analyzer),
+                               analyzer=analyzer, html_input=html_input),
         schema=TERMDOC_SCHEMA,
-    )
+    ).persist()
 
-    termdoc = termdoc.persist()
-    docmeta = termdoc.groupBy("seg", "docid").agg(
-        F.first("key").alias("key"),
-        F.first("doclen").alias("doclen"),
-        F.first("norm").alias("norm"),
-    ).select("seg", "docid", "key", "doclen", "norm")
+    # partition-local distinct: all rows of a doc are in one partition and
+    # docid-ordered; carry the last docid across Arrow batches.
+    def _dedup_meta(batches):
+        import pandas as pd
+        last = None
+        for pdf in batches:
+            sub = pdf[["seg", "docid", "key", "doclen", "norm"]]
+            sub = sub[sub["docid"] != sub["docid"].shift(1)]
+            if last is not None and len(sub) and sub["docid"].iloc[0] == last:
+                sub = sub.iloc[1:]
+            if len(sub):
+                last = int(sub["docid"].iloc[-1])
+                yield sub
+
+    docmeta = termdoc.mapInPandas(
+        _dedup_meta,
+        schema="seg INT, docid INT, key STRING, doclen INT, norm INT")
     # token-less docs carry a NULL-term sentinel row (analysis.py) so they
     # keep a dense docID and count in maxDoc; drop sentinels from postings.
-    termdoc = termdoc.where(F.col("term").isNotNull())
+    termdoc = (termdoc.where(F.col("term").isNotNull())
+               .drop("key", "doclen"))
 
     pstruct = _posting_struct(with_positions)
     if salt_partitions and salt_partitions > 1:

@@ -47,8 +47,9 @@ from ..functions.tokenizer import get_analyzer
 from .indexer import InvertedIndex
 
 __all__ = [
-    "term_score_frame", "search_terms", "search_or", "search_and",
-    "search_dismax", "search_phrase", "count_query", "search_after",
+    "term_score_frame", "phrase_score_frame", "search_terms", "search_or",
+    "search_and", "search_dismax", "search_phrase", "count_query",
+    "search_after",
 ]
 
 
@@ -283,7 +284,7 @@ def search_after(index: InvertedIndex, query_text: str, k: int,
 
 
 def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10,
-                  precision: str = "float32") -> DataFrame:
+                  precision: str = "float32", boost: float = 1.0) -> DataFrame:
     """Exact phrase (slop=0): per-doc alignment count of consecutive
     positions == phrase freq; BM25 with summed idf
     (``search/ExactPhraseScorer.java:26-33``; ``PhraseQuery.java:279-283``).
@@ -296,11 +297,19 @@ def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10,
             F.col("key"), F.lit(0.0).cast("float").alias("score")).limit(0)
     if len(terms) == 1:
         return search_terms(index, phrase_text, "OR", k, precision=precision)
+    scored = phrase_score_frame(index, terms, precision, boost)
+    return _topk(scored, index, k, precision)
 
-    scorer = _Scorer(index, terms, precision)
+
+def phrase_score_frame(index: InvertedIndex, terms: list[str],
+                       precision: str = "float32",
+                       boost: float = 1.0) -> DataFrame:
+    """(seg, docid, score) for an exact phrase — the unsorted scoring frame
+    (used directly by the boolean plan builder in plans/query.py)."""
+    scorer = _Scorer(index, terms, precision, boost)
     # summed idf over the phrase's terms, accumulated in term order
     # (BM25Similarity.idfExplain(TermStatistics[]))
-    weight_value = scorer.phrase_weight()
+    weight_value = scorer.phrase_weight() * float(boost)
     stype = "double" if precision == "float64" else "float"
 
     # per position-slot i: docs containing terms[i], positions shifted by -i
@@ -340,9 +349,8 @@ def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10,
         ),
     ).withColumn("pfreq", F.size("common")).where(F.col("pfreq") > 0)
 
-    scored = inter.withColumn(
+    return inter.withColumn(
         "score",
         (F.lit(weight_value).cast(stype) * F.col("pfreq").cast(stype))
         / (F.col("pfreq").cast(stype) + scorer.norm_factor()),
     ).select("seg", "docid", "score")
-    return _topk(scored, index, k, precision)

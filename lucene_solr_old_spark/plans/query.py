@@ -1,0 +1,162 @@
+"""Query AST + classic-syntax parser + plan builder.
+
+A re-derivation of the classic QueryParser's core surface
+(``lucene/queryparser/.../classic/QueryParserBase.java:57-62,456-479``):
+
+    term term            -- disjunction (default OR)
+    +term                -- MUST clause
+    -term                -- MUST_NOT clause
+    "a b"                -- exact phrase (slop 0)
+    term^2.5             -- boost
+    AND/OR/NOT           -- infix sugar: `a AND b` == `+a +b`,
+                            `a OR b` == `a b`, `NOT a` == `-a`
+
+Execution maps the BooleanQuery semantics (``search/BooleanQuery.java``)
+onto one DataFrame plan: every scoring clause contributes a
+(seg, docid, score, clause_id) frame; a doc's score is the float sum of its
+matching clauses; docs must match all MUST clauses and no MUST_NOT clause.
+Score = Lucene's sum-with-coord(1) (BM25 never overrides coord).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.tokenizer import get_analyzer
+from ..operators import search as S
+from ..operators.indexer import InvertedIndex
+
+__all__ = ["TermClause", "PhraseClause", "BoolQuery", "parse_query",
+           "execute"]
+
+
+@dataclass
+class TermClause:
+    text: str
+    boost: float = 1.0
+
+
+@dataclass
+class PhraseClause:
+    text: str
+    boost: float = 1.0
+
+
+@dataclass
+class BoolQuery:
+    must: list = field(default_factory=list)
+    should: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+    min_should_match: int = 0
+
+
+_TOKEN_RE = re.compile(
+    r'(?P<op>[+-])?(?:"(?P<phrase>[^"]*)"|(?P<term>[^\s^]+))'
+    r"(?:\^(?P<boost>[0-9.]+))?")
+
+
+def parse_query(q: str) -> BoolQuery:
+    out = BoolQuery()
+    pending = None  # infix operator state
+    for m in _TOKEN_RE.finditer(q):
+        raw_term = m.group("term")
+        if raw_term in ("AND", "OR", "NOT", "&&", "||"):
+            pending = raw_term
+            continue
+        boost = float(m.group("boost") or 1.0)
+        clause = (PhraseClause(m.group("phrase"), boost)
+                  if m.group("phrase") is not None
+                  else TermClause(raw_term, boost))
+        op = m.group("op")
+        if pending in ("NOT",):
+            op = "-"
+        elif pending in ("AND", "&&"):
+            # promote the previous should-clause and this one to MUST
+            if out.should:
+                out.must.append(out.should.pop())
+            op = op or "+"
+        pending = None
+        if op == "+":
+            out.must.append(clause)
+        elif op == "-":
+            out.must_not.append(clause)
+        else:
+            out.should.append(clause)
+    return out
+
+
+def _clause_frame(index: InvertedIndex, clause, clause_id: int,
+                  precision: str):
+    """-> (frame(seg, docid, score, cid) | None, analyzed_ok)."""
+    analyzer = get_analyzer(index.analyzer)
+    terms = [t.term for t in analyzer(clause.text)]
+    if not terms:
+        return None
+    if isinstance(clause, PhraseClause) and len(terms) > 1:
+        frame = S.phrase_score_frame(index, terms, precision, clause.boost)
+    else:
+        scored, _ = S.term_score_frame(index, terms, boost=clause.boost,
+                                       precision=precision)
+        frame = (scored.groupBy("seg", "docid")
+                 .agg(F.sum("score").alias("score")))
+    return frame.withColumn("cid", F.lit(clause_id))
+
+
+def execute(index: InvertedIndex, query, k: int = 10,
+            precision: str = "float32") -> DataFrame:
+    """Run a BoolQuery (or raw query string) -> top-k (key, score)."""
+    if isinstance(query, str):
+        query = parse_query(query)
+    frames = []
+    n_must = 0
+    cid = 0
+    for clause in query.must:
+        f = _clause_frame(index, clause, cid, precision)
+        if f is None:
+            # a MUST clause that analyzes to nothing matches nothing
+            return index.docmeta.select(
+                "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+        frames.append(f.withColumn("is_must", F.lit(1)))
+        n_must += 1
+        cid += 1
+    for clause in query.should:
+        f = _clause_frame(index, clause, cid, precision)
+        if f is not None:
+            frames.append(f.withColumn("is_must", F.lit(0)))
+            cid += 1
+    if not frames:
+        return index.docmeta.select(
+            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    agg = union.groupBy("seg", "docid").agg(
+        F.sum("score").alias("score"),
+        F.sum("is_must").alias("n_must_matched"),
+        F.count("*").alias("n_matched"),
+    )
+    if n_must:
+        agg = agg.where(F.col("n_must_matched") == n_must)
+    if query.min_should_match:
+        agg = agg.where(
+            F.col("n_matched") - F.col("n_must_matched")
+            >= query.min_should_match)
+    for clause in query.must_not:
+        analyzer = get_analyzer(index.analyzer)
+        terms = [t.term for t in analyzer(clause.text)]
+        if not terms:
+            continue
+        ex = (index.postings.where(F.col("term").isin(terms))
+              .select("seg", F.explode("postings.docid").alias("docid"))
+              .distinct())
+        agg = agg.join(ex, ["seg", "docid"], "left_anti")
+
+    stype = "double" if precision == "float64" else "float"
+    out = agg.join(index.docmeta.select("seg", "docid", "key"),
+                   ["seg", "docid"])
+    return (out.select("key", F.col("score").cast(stype).alias("score"))
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(k))

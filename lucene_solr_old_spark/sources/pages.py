@@ -155,21 +155,34 @@ def gen_pages(n: int, seed: int = 42) -> list[tuple]:
     Each doc is generated from its own ``Random(seed*1e9 + i)`` so any
     subset/sharding of ids yields identical rows (resumability fixture).
     """
-    rows = []
-    base_ts = dt.datetime(2014, 2, 15, 0, 0, 0)
-    for i in range(n):
-        rng = random.Random(seed * 1_000_000_007 + i)
-        lang = _LANGS[rng.randint(0, len(_LANGS) - 1)]
-        html, text = _render(rng, lang)
-        url = f"https://example{i % 97}.com/p/{i:08d}"
-        ts = base_ts + dt.timedelta(seconds=i * 17 + rng.randint(0, 13))
-        rows.append((url, ts, html.encode("utf-8"), text, lang))
-    return rows
+    return [_gen_one(i, seed) for i in range(n)]
+
+
+def _gen_one(i: int, seed: int) -> tuple:
+    rng = random.Random(seed * 1_000_000_007 + i)
+    lang = _LANGS[rng.randint(0, len(_LANGS) - 1)]
+    html, text = _render(rng, lang)
+    url = f"https://example{i % 97}.com/p/{i:08d}"
+    ts = dt.datetime(2014, 2, 15) + dt.timedelta(seconds=i * 17
+                                                 + rng.randint(0, 13))
+    return url, ts, html.encode("utf-8"), text, lang
 
 
 def pages_dataframe(spark: SparkSession, n: int, seed: int = 42,
                     num_partitions: int | None = None) -> DataFrame:
-    df = spark.createDataFrame(gen_pages(n, seed), schema=PAGES_SCHEMA)
-    if num_partitions:
-        df = df.repartition(num_partitions)
-    return df
+    """Distributed generation: ids are sharded to executors and each doc is
+    rendered from its own per-id RNG, so the corpus is identical for any
+    partitioning (and generation scales with the cluster, not the driver).
+    """
+    import pandas as pd
+
+    parts = num_partitions or max(8, n // 5000)
+
+    def render(batches):
+        for pdf in batches:
+            rows = [_gen_one(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html",
+                                              "text", "lang"])
+
+    return (spark.range(0, n, numPartitions=parts)
+            .mapInPandas(render, schema=PAGES_SCHEMA))

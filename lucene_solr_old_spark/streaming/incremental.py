@@ -1,0 +1,82 @@
+"""Incremental (near-real-time) indexing via Structured Streaming.
+
+The reference's NRT surface (SURVEY.md §2.9) re-expressed:
+
+  * ``DirectoryReader.open(IndexWriter)`` / soft commit ->
+    each micro-batch flushes new SEGMENTS (parquet appends); any reader
+    loading the index afterwards sees them — snapshot semantics come from
+    the storage layer (Iceberg snapshots in production; parquet dirs here);
+  * transaction log / replay (``UpdateLog.java:779-812``) ->
+    Structured Streaming's checkpoint dir gives exactly-once batch replay,
+    so a crashed indexer resumes at the failed micro-batch;
+  * ``CommitTracker`` auto-commit thresholds -> the stream trigger.
+
+Each micro-batch builds ``segments_per_batch`` segments labeled
+``batch_id * segments_per_batch + local`` — globally unique, so the
+accumulated index is just the union of all flushed segments, and query
+results are IDENTICAL to a one-shot batch build of the same rows (global
+stats are computed from segstats at query time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.indexer import InvertedIndex, build_index, load_index
+
+__all__ = ["start_incremental_indexer", "open_nrt_reader"]
+
+
+def start_incremental_indexer(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    key_col: str = "url",
+    text_col: str = "text",
+    html_col: str | None = None,
+    analyzer: str = "english",
+    segments_per_batch: int = 2,
+    trigger_once: bool = True,
+):
+    """Attach a foreachBatch sink that appends index segments per batch.
+    Returns the StreamingQuery (caller awaits/stops)."""
+
+    def flush_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = build_index(batch_df, key_col=key_col, text_col=text_col,
+                          html_col=html_col, analyzer=analyzer,
+                          num_segments=segments_per_batch)
+        base = batch_id * segments_per_batch
+        relabeled = InvertedIndex(
+            idx.postings.withColumn("seg", (F.col("seg") + base).cast("int")),
+            idx.docmeta.withColumn("seg", (F.col("seg") + base).cast("int")),
+            idx.segstats.withColumn("seg", (F.col("seg") + base).cast("int")),
+            idx.with_positions, idx.analyzer)
+        # append-mode flush = segment publish (order within batch irrelevant)
+        relabeled.postings.write.mode("append").partitionBy("seg").parquet(
+            os.path.join(index_path, "postings"))
+        relabeled.docmeta.write.mode("append").partitionBy("seg").parquet(
+            os.path.join(index_path, "docmeta"))
+        relabeled.segstats.write.mode("append").parquet(
+            os.path.join(index_path, "segstats"))
+
+    writer = (stream_df.writeStream
+              .foreachBatch(flush_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def open_nrt_reader(spark: SparkSession, index_path: str,
+                    analyzer: str = "english",
+                    with_positions: bool = True) -> InvertedIndex:
+    """Point-in-time reader over whatever segments have been flushed —
+    the SearcherManager.maybeRefresh analogue (re-open to see new docs)."""
+    idx = load_index(spark, index_path)
+    idx.analyzer = analyzer
+    idx.with_positions = with_positions
+    return idx

@@ -1,0 +1,143 @@
+"""Tiered merge planner + merge job + resumable checkpointed build tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_old_spark.operators import search as S
+from lucene_solr_old_spark.operators.indexer import build_index
+from lucene_solr_old_spark.operators.merge import (
+    SegmentMeta, TieredMergePlanner, delete_docs, force_merge, merge_segments)
+from lucene_solr_old_spark.sources.pages import gen_pages
+from lucene_solr_old_spark.sources.segments import (
+    checkpointed_build, checkpoint_status, load_checkpointed)
+
+MB = 1024 * 1024
+
+
+class TestPlanner:
+    def test_no_merge_when_under_budget(self):
+        p = TieredMergePlanner()
+        segs = [SegmentMeta(i, 10 * MB) for i in range(5)]
+        assert p.find_merges(segs) == []
+
+    def test_merge_proposed_when_over_budget(self):
+        p = TieredMergePlanner()
+        # 25 segments of 3MB: budget is ~ten 3MB-level segments + change
+        segs = [SegmentMeta(i, 3 * MB) for i in range(25)]
+        merges = p.find_merges(segs)
+        assert merges, "over-budget index must propose a merge"
+        for m in merges:
+            assert 2 <= len(m) <= p.max_merge_at_once
+        flat = [s for m in merges for s in m]
+        assert len(flat) == len(set(flat)), "segments picked at most once"
+
+    def test_over_large_segments_graced(self):
+        p = TieredMergePlanner()
+        segs = [SegmentMeta(0, 6 * 1024 * MB)] + [
+            SegmentMeta(i, 3 * MB) for i in range(1, 26)]
+        merges = p.find_merges(segs)
+        assert all(0 not in m for m in merges)
+
+    def test_delete_heavy_merge_preferred(self):
+        p = TieredMergePlanner(segs_per_tier=2.0, max_merge_at_once=2)
+        # two equal windows, one with huge delete ratio -> lower score
+        segs = [SegmentMeta(0, 10 * MB, del_bytes=8 * MB),
+                SegmentMeta(1, 10 * MB, del_bytes=8 * MB)] + [
+            SegmentMeta(i, 10 * MB) for i in range(2, 12)]
+        merges = p.find_merges(segs)
+        assert merges
+        assert set(merges[0]) == {0, 1}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen_pages(200, seed=23)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    return spark.createDataFrame(
+        corpus, schema="url STRING, warc_ts TIMESTAMP, html BINARY, "
+                       "text STRING, lang STRING").persist()
+
+
+def pairs(df):
+    return [(r["key"], round(float(r["score"]), 5)) for r in df.collect()]
+
+
+QUERIES = ["running meetings", "caresses", "relational hopeful"]
+
+
+def test_merge_preserves_results(spark, docs_df):
+    idx = build_index(docs_df, num_segments=6).persist()
+    before = {q: pairs(S.search_or(idx, q, k=10)) for q in QUERIES}
+    merged = merge_segments(idx, [0, 1, 2], target_seg=100)
+    # segment bookkeeping
+    segs = sorted(r["seg"] for r in merged.segstats.collect())
+    assert 100 in segs and not {0, 1, 2} & set(segs)
+    assert merged.collection_stats() == idx.collection_stats()
+    for q in QUERIES:
+        assert pairs(S.search_or(merged, q, k=10)) == before[q], q
+
+
+def test_force_merge_single_segment(spark, docs_df):
+    idx = build_index(docs_df, num_segments=5)
+    merged = force_merge(idx)
+    assert [r["seg"] for r in merged.segstats.collect()] == [0]
+    assert pairs(S.search_or(merged, "running meetings", k=10)) == \
+        pairs(S.search_or(idx, "running meetings", k=10))
+
+
+def test_merge_with_deletes_matches_fresh_build(spark, docs_df, corpus):
+    idx = build_index(docs_df, num_segments=3)
+    # delete 10 docs (wherever they live; merge all segments so deletes
+    # apply globally)
+    del_keys = [corpus[i][0] for i in range(0, 100, 10)]
+    del_df = spark.createDataFrame([(k,) for k in del_keys], "key STRING")
+    merged = force_merge(idx, deleted_keys=del_df)
+    fresh = build_index(
+        docs_df.where(~F.col("url").isin(del_keys)), num_segments=2)
+    assert merged.collection_stats() == fresh.collection_stats()
+    for q in QUERIES:
+        assert pairs(S.search_or(merged, q, k=10)) == \
+            pairs(S.search_or(fresh, q, k=10)), q
+
+
+def test_delete_docs_without_merge(spark, docs_df, corpus):
+    idx = build_index(docs_df, num_segments=3)
+    del_keys = [corpus[i][0] for i in range(5)]
+    del_df = spark.createDataFrame([(k,) for k in del_keys], "key STRING")
+    pruned = delete_docs(idx, del_df)
+    fresh = build_index(docs_df.where(~F.col("url").isin(del_keys)),
+                        num_segments=3)
+    assert pruned.collection_stats() == fresh.collection_stats()
+    for q in QUERIES:
+        assert pairs(S.search_or(pruned, q, k=10)) == \
+            pairs(S.search_or(fresh, q, k=10)), q
+
+
+def test_checkpointed_build_resume(spark, docs_df, tmp_path):
+    path = str(tmp_path / "ck")
+    # fail after 2 of 4 shards
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpointed_build(spark, docs_df, path, n_shards=4,
+                           segments_per_shard=2, fail_after_shards=2,
+                           source_desc="pages-200")
+    st = checkpoint_status(path, 4)
+    assert len(st) == 2, "two shards checkpointed before the failure"
+    # resume: completes remaining shards only
+    idx = checkpointed_build(spark, docs_df, path, n_shards=4,
+                             segments_per_shard=2, source_desc="pages-200")
+    st = checkpoint_status(path, 4)
+    assert len(st) == 4
+    assert all(v["status"] == "complete" for v in st.values())
+    assert all(v["metrics"]["docs"] > 0 for v in st.values())
+    # results identical to a plain build
+    plain = build_index(docs_df, num_segments=4)
+    for q in QUERIES:
+        assert pairs(S.search_or(idx, q, k=10)) == \
+            pairs(S.search_or(plain, q, k=10)), q
+    # reload from disk
+    loaded = load_checkpointed(spark, path, 4)
+    assert pairs(S.search_or(loaded, "running meetings", k=10)) == \
+        pairs(S.search_or(plain, "running meetings", k=10))
