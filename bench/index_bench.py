@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--shuffle", type=int, default=64)
     ap.add_argument("--compress", action="store_true")
+    ap.add_argument("--nosave", action="store_true")
+    ap.add_argument("--nopersist", action="store_true")
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("index-bench")
@@ -47,10 +49,16 @@ def main() -> None:
     t0 = time.time()
     idx = build_index(docs, key_col="url", html_col="html",
                       num_segments=args.segments, analyzer="english",
-                      salt_partitions=args.salt)
+                      salt_partitions=args.salt,
+                      persist_termdoc=not args.nopersist)
     if args.compress:
         idx = compress_index(idx)
-    idx.save(args.out)
+    if args.nosave:
+        # materialize fully without the file sink (plan-cost isolation)
+        idx.postings.write.format("noop").mode("overwrite").save()
+        idx.docmeta.write.format("noop").mode("overwrite").save()
+    else:
+        idx.save(args.out)
     wall = time.time() - t0
 
     master = spark.sparkContext.master

@@ -718,3 +718,40 @@ def _q_multimodal(spark, sf_dir):
     meta = sniff_media_meta(payloads)
     return meta.select(F.col("key").cast("long").alias("doc_id"),
                        "n_bytes", "format", "kind").orderBy("doc_id")
+
+
+# ---- spellcheck / suggest / term range --------------------------------------
+
+from .operators import spell as SP  # noqa: E402
+
+
+@_reg("spellcheck", f"""WITH {_PRELUDE}
+SELECT term, levenshtein(term, 'spakr')::INT AS dist, df::BIGINT AS df
+FROM dfreq
+WHERE levenshtein(term, 'spakr') BETWEEN 1 AND 2
+ORDER BY dist, df DESC, term LIMIT 5""")
+def _q_spell(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return SP.spellcheck(idx, "spakr", max_edits=2, k=5).select(
+        "term", F.col("dist").cast("int").alias("dist"),
+        F.col("df").cast("long").alias("df"))
+
+
+@_reg("suggest_prefix", f"""WITH {_PRELUDE}
+SELECT term, sum(freq)::BIGINT AS weight
+FROM tf GROUP BY term
+HAVING term LIKE 's%'
+ORDER BY weight DESC, term LIMIT 10""")
+def _q_suggest(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return SP.suggest_prefix(idx, "s", k=10)
+
+
+@_reg("term_range", f"""WITH {_PRELUDE}
+SELECT term, count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf
+FROM tf GROUP BY term
+HAVING term >= 'm' AND term < 's'
+ORDER BY term LIMIT 1000""")
+def _q_term_range(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return SP.term_range(idx, "m", "s")

@@ -1,0 +1,121 @@
+"""Faceting, stats, and grouping over query results.
+
+Solr component analogues (SURVEY.md §2.5):
+
+  * field facets   — ``SimpleFacets.getFacetFieldCounts`` (FC method):
+                     value counts over the matching doc set, count-desc with
+                     index-order tie-break, limit/mincount knobs
+  * range facets   — ``SimpleFacets.getFacetRangeCounts``: fixed-width bins
+  * query facets   — counts per named subquery
+  * stats          — ``StatsComponent``: min/max/sum/mean/stddev/count
+  * grouping       — two-pass grouping (``AbstractFirstPassGroupingCollector``)
+                     as a window row_number over (score, key) per group
+
+All pure DataFrame ops.  The "result doc set" is any frame with doc keys —
+compose with search.search_terms(...) or a raw predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .indexer import InvertedIndex
+from .search import term_score_frame
+
+__all__ = ["matching_docs", "facet_field", "facet_range", "facet_queries",
+           "stats_agg", "group_topk"]
+
+
+def matching_docs(index: InvertedIndex, terms: list[str],
+                  mode: str = "OR") -> DataFrame:
+    """Non-scoring doc set for a term query — the Solr fq/DocSet analogue
+    (``solr/.../search/DocSetBase.java``). Returns (key)."""
+    matched = (index.postings.where(F.col("term").isin(terms))
+               .select("seg", F.col("term"),
+                       F.explode("postings.docid").alias("docid")))
+    grouped = matched.groupBy("seg", "docid").agg(
+        F.count_distinct("term").alias("n"))
+    if mode.upper() == "AND":
+        grouped = grouped.where(F.col("n") == len(set(terms)))
+    return (grouped.join(index.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+            .select("key"))
+
+
+def facet_field(result_docs: DataFrame, dims: DataFrame, field: str,
+                key_col: str = "key", mincount: int = 1,
+                limit: int = 100) -> DataFrame:
+    """(field_value, cnt) count-desc, value-asc — facet.field semantics."""
+    joined = result_docs.join(dims, key_col)
+    return (joined.groupBy(F.col(field).alias("value"))
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= mincount)
+            .orderBy(F.desc("cnt"), F.asc("value"))
+            .limit(limit))
+
+
+def facet_range(result_docs: DataFrame, dims: DataFrame, field: str,
+                start: float, end: float, gap: float,
+                key_col: str = "key") -> DataFrame:
+    """(bucket_start, cnt) fixed-width bins over [start, end)."""
+    joined = result_docs.join(dims, key_col)
+    bucket = (F.floor((F.col(field) - F.lit(start)) / F.lit(gap))
+              * F.lit(gap) + F.lit(start))
+    return (joined.where((F.col(field) >= start) & (F.col(field) < end))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("bucket"))
+
+
+def facet_queries(index: InvertedIndex,
+                  named_queries: dict[str, tuple[list[str], str]]) -> DataFrame:
+    """facet.query: one count per named (terms, mode) subquery."""
+    frames = []
+    for name, (terms, mode) in named_queries.items():
+        c = matching_docs(index, terms, mode).agg(
+            F.count("*").alias("cnt")).withColumn("name", F.lit(name))
+        frames.append(c.select("name", "cnt"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def stats_agg(result_docs: DataFrame, dims: DataFrame, field: str,
+              key_col: str = "key",
+              group_by: str | None = None) -> DataFrame:
+    """StatsComponent: count/min/max/sum/mean/stddev (population, like
+    Solr's stddev over the full result set)."""
+    joined = result_docs.join(dims, key_col)
+    aggs = [
+        F.count("*").alias("cnt"),
+        F.min(field).alias("min"),
+        F.max(field).alias("max"),
+        F.sum(field).alias("sum"),
+        F.avg(field).alias("mean"),
+        F.stddev_pop(field).alias("stddev"),
+    ]
+    if group_by:
+        return joined.groupBy(group_by).agg(*aggs).orderBy(group_by)
+    return joined.agg(*aggs)
+
+
+def group_topk(index: InvertedIndex, terms: list[str], dims: DataFrame,
+               group_field: str, k_per_group: int = 2,
+               key_col: str = "key") -> DataFrame:
+    """Two-pass grouping: top-k docs per group by BM25 score
+    (``lucene/grouping``'s first/second pass collapsed into one windowed
+    plan — Catalyst's window exchange partitions by group, exactly the
+    per-group PQ the reference keeps)."""
+    scored, _ = term_score_frame(index, terms)
+    per_doc = scored.groupBy("seg", "docid").agg(F.sum("score").alias("score"))
+    dims_k = dims.withColumnRenamed(key_col, "key") if key_col != "key" else dims
+    hits = (per_doc.join(index.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+            .join(dims_k, "key")
+            .select(group_field, "key", "score"))
+    w = Window.partitionBy(group_field).orderBy(
+        F.desc("score"), F.asc("key"))
+    return (hits.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k_per_group)
+            .orderBy(group_field, "rnk"))

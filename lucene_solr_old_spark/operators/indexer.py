@@ -65,13 +65,20 @@ class InvertedIndex:
         like Lucene's term-dictionary seek before scoring."""
         if not terms:
             return {}
-        rows = (
-            self.postings.where(F.col("term").isin(terms))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-            .collect()
-        )
-        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+        if not hasattr(self, "_term_cache"):
+            self._term_cache: dict[str, tuple[int, int]] = {}
+        missing = [t for t in set(terms) if t not in self._term_cache]
+        if missing:
+            rows = (
+                self.postings.where(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+                .collect()
+            )
+            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            for t in missing:
+                self._term_cache[t] = found.get(t, (0, 0))
+        return {t: self._term_cache[t] for t in set(terms)}
 
     def persist(self) -> "InvertedIndex":
         self.postings = self.postings.persist()
@@ -130,6 +137,7 @@ def build_index(
     salt_partitions: int = 0,
     html_col: str | None = None,
     analyzer: str = "english",
+    persist_termdoc: bool = True,
 ) -> InvertedIndex:
     """Build the inverted index. ``salt_partitions > 0`` enables the
     two-phase salted aggregation for head-term skew.
@@ -166,7 +174,12 @@ def build_index(
         make_analyze_partition("key", "text", with_positions=with_positions,
                                analyzer=analyzer, html_input=html_input),
         schema=TERMDOC_SCHEMA,
-    ).persist()
+    )
+    if persist_termdoc:
+        # avoids re-analyzing for the docmeta/segstats actions, at the cost
+        # of pushing the analyzed stream through the block store (disk at
+        # scale) — for one-shot build+save jobs recompute is often cheaper
+        termdoc = termdoc.persist()
 
     # partition-local distinct: all rows of a doc are in one partition and
     # docid-ordered; carry the last docid across Arrow batches.

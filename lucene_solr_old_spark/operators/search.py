@@ -354,3 +354,50 @@ def phrase_score_frame(index: InvertedIndex, terms: list[str],
         (F.lit(weight_value).cast(stype) * F.col("pfreq").cast(stype))
         / (F.col("pfreq").cast(stype) + scorer.norm_factor()),
     ).select("seg", "docid", "score")
+
+
+def explain(index: InvertedIndex, query_text: str, key: str) -> list[dict]:
+    """Score explanation for one document — the ``Explanation`` tree
+    analogue (``search/similarities/BM25Similarity.java explainScore``):
+    per matching term, the idf / tf / norm-cache components and the exact
+    float32 partial, plus the summed total."""
+    terms = _qterms(index, query_text)
+    if not terms:
+        return []
+    scorer = _Scorer(index, terms)
+    doc = index.docmeta.where(F.col("key") == key) \
+        .select("seg", "docid", "doclen", "norm").collect()
+    if not doc:
+        return []
+    seg, docid, doclen, normb = (doc[0]["seg"], doc[0]["docid"],
+                                 doc[0]["doclen"], doc[0]["norm"])
+    rows = (index.postings
+            .where((F.col("seg") == seg) & F.col("term").isin(terms))
+            .select("term", F.explode("postings").alias("p"))
+            .where(F.col("p.docid") == docid)
+            .select("term", "p.freq").collect())
+    freq_by_term = {r["term"]: r["freq"] for r in rows}
+    out = []
+    total = np.float32(0.0)
+    for t in sorted(set(terms)):
+        tf = freq_by_term.get(t)
+        if tf is None:
+            continue
+        df, _ttf = scorer.tstats.get(t, (0, 0))
+        idf_v = scorer.stats.idf(df)
+        cache_v = scorer.stats.cache[normb & 0xFF]
+        partial = scorer.stats.score(df, np.array([tf]),
+                                     np.array([normb]))[0]
+        total = total + partial
+        out.append({
+            "term": t, "freq": int(tf), "docFreq": int(df),
+            "idf": float(idf_v), "fieldLength": int(doclen),
+            "normByte": int(normb), "normFactor": float(cache_v),
+            "avgdl": float(scorer.stats.avgdl),
+            "partial": float(partial),
+            "formula": "idf * (k1+1) * freq / (freq + k1*((1-b) + "
+                       "b*decode(norm)/avgdl))",
+        })
+    if out:
+        out.append({"term": "<sum>", "partial": float(total)})
+    return out
