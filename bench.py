@@ -60,14 +60,18 @@ def main() -> None:
                             num_partitions=cpus * 2).persist()
     pages.count()  # materialize generation outside the timed window
 
+    # heavy Python stages run one Arrow worker per task: capping the task
+    # count at 16 keeps JVM+Python threads <= machine cores at local[32]
+    nseg = min(cpus, 16)
+
     def build_pages():
         idx = build_index(pages, key_col="url", html_col="html",
-                          num_segments=cpus, analyzer="english",
+                          num_segments=nseg, analyzer="english",
                           salt_partitions=8)
         # force full materialization of postings + docmeta
         n_terms = idx.postings.count()
         n_docs, sum_ttf = idx.collection_stats()
-        extras["pages_index"] = {"segments": cpus, "terms": n_terms,
+        extras["pages_index"] = {"segments": nseg, "terms": n_terms,
                                  "docs": n_docs, "sum_ttf": sum_ttf}
         return idx
 
@@ -83,7 +87,7 @@ def main() -> None:
 
     def build_docs():
         idx = build_index(docs, key_col="doc_key", text_col="text",
-                          num_segments=min(cpus, 16), analyzer="ws_stop")
+                          num_segments=min(cpus, 8), analyzer="ws_stop")
         idx = idx.persist()
         idx.postings.count()
         idx.docmeta.count()
@@ -107,7 +111,7 @@ def main() -> None:
     # --- stage 3: pipeline ops --------------------------------------------
     toks = D.ws_tokens(docs, key_col="doc_key", text_col="text")
     timed("minhash_lsh", lambda: D.lsh_candidate_pairs(
-        D.minhash_signatures(toks)).count())
+        D.minhash_signatures(toks, shingle_n=3)).count())
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = list(emb.where(F.col("vec_id") == 0)
                 .select("embedding").first()[0])

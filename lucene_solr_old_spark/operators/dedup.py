@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
-    "ws_tokens", "exact_dedup_groups", "minhash_signatures",
+    "ws_tokens", "exact_dedup_groups", "shingles", "minhash_signatures",
     "lsh_candidate_pairs", "simhash", "ngram_jaccard_pairs",
 ]
 
@@ -50,11 +50,33 @@ def exact_dedup_groups(docs: DataFrame, key_col: str = "doc_id",
                  F.min(key_col).alias("keeper")))
 
 
-def minhash_signatures(tokens: DataFrame, n_hashes: int = 4) -> DataFrame:
-    """(key, sig_0..sig_{n-1}): per-seed minimum of md5(seed:term) over the
-    doc's DISTINCT terms — a resemblance sketch.  Aggregation is a single
-    groupBy with n min() columns (map-side combinable, skew-free)."""
-    distinct_terms = tokens.select("key", "term").distinct()
+def shingles(tokens: DataFrame, n: int = 3) -> DataFrame:
+    """(key, shingle) distinct token n-grams from the ordered stream."""
+    w = Window.partitionBy("key").orderBy("pos")
+    sh = tokens
+    cols = [F.col("term")]
+    for i in range(1, n):
+        sh = sh.withColumn(f"t{i}", F.lead("term", i).over(w))
+        cols.append(F.col(f"t{i}"))
+    return (sh.where(F.col(f"t{n-1}").isNotNull() if n > 1 else F.lit(True))
+            .select("key", F.concat_ws(" ", *cols).alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(tokens: DataFrame, n_hashes: int = 4,
+                       shingle_n: int = 1) -> DataFrame:
+    """(key, sig_0..sig_{n-1}): per-seed minimum of md5(seed:shingle) over
+    the doc's DISTINCT shingles — a resemblance sketch.  ``shingle_n=1``
+    sketches the term SET (SQL-oracle-parity mode); ``shingle_n>=2`` uses
+    token n-grams — the production setting (term-set sketches degenerate on
+    small vocabularies: near-identical sets collide into one LSH bucket and
+    the candidate join goes quadratic).  Aggregation is a single groupBy
+    with n min() columns (map-side combinable, skew-free)."""
+    if shingle_n > 1:
+        distinct_terms = shingles(tokens, shingle_n) \
+            .withColumnRenamed("shingle", "term")
+    else:
+        distinct_terms = tokens.select("key", "term").distinct()
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("term"))))
         .alias(f"sig_{i}")
@@ -120,18 +142,10 @@ def ngram_jaccard_pairs(tokens: DataFrame, n: int = 3,
     share >= 1 shingle.  Shingles from the ordered token stream (lead
     window); candidate generation is a self-join on shingle — the
     "bucket-join" stage of the classic near-dup pipeline."""
-    w = Window.partitionBy("key").orderBy("pos")
-    sh = tokens
-    cols = [F.col("term")]
-    for i in range(1, n):
-        sh = sh.withColumn(f"t{i}", F.lead("term", i).over(w))
-        cols.append(F.col(f"t{i}"))
-    shingles = (sh.where(F.col(f"t{n-1}").isNotNull())
-                .select("key", F.concat_ws(" ", *cols).alias("shingle"))
-                .distinct())
-    sizes = shingles.groupBy("key").agg(F.count("*").alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    sh_df = shingles(tokens, n)
+    sizes = sh_df.groupBy("key").agg(F.count("*").alias("sz"))
+    a = sh_df.alias("a")
+    b = sh_df.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.key") < F.col("b.key")))
              .groupBy(F.col("a.key").alias("a"), F.col("b.key").alias("b"))

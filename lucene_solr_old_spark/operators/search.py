@@ -284,7 +284,8 @@ def search_after(index: InvertedIndex, query_text: str, k: int,
 
 
 def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10,
-                  precision: str = "float32", boost: float = 1.0) -> DataFrame:
+                  precision: str = "float32", boost: float = 1.0,
+                  slop: int = 0) -> DataFrame:
     """Exact phrase (slop=0): per-doc alignment count of consecutive
     positions == phrase freq; BM25 with summed idf
     (``search/ExactPhraseScorer.java:26-33``; ``PhraseQuery.java:279-283``).
@@ -297,13 +298,13 @@ def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10,
             F.col("key"), F.lit(0.0).cast("float").alias("score")).limit(0)
     if len(terms) == 1:
         return search_terms(index, phrase_text, "OR", k, precision=precision)
-    scored = phrase_score_frame(index, terms, precision, boost)
+    scored = phrase_score_frame(index, terms, precision, boost, slop)
     return _topk(scored, index, k, precision)
 
 
 def phrase_score_frame(index: InvertedIndex, terms: list[str],
                        precision: str = "float32",
-                       boost: float = 1.0) -> DataFrame:
+                       boost: float = 1.0, slop: int = 0) -> DataFrame:
     """(seg, docid, score) for an exact phrase — the unsorted scoring frame
     (used directly by the boolean plan builder in plans/query.py)."""
     scorer = _Scorer(index, terms, precision, boost)
@@ -339,21 +340,64 @@ def phrase_score_frame(index: InvertedIndex, terms: list[str],
         F.first("norm").alias("norm"),
         F.array_sort(F.collect_list(F.struct("slot", "pos"))).alias("slots"),
     ).where(F.col("nslots") == len(terms))
-    # phrase freq = |intersection of shifted position arrays|
-    inter = per_doc.withColumn(
-        "common",
-        F.aggregate(
-            F.expr("slice(slots, 2, size(slots) - 1)"),
-            F.col("slots")[0]["pos"],
-            lambda acc, s: F.array_intersect(acc, s["pos"]),
-        ),
-    ).withColumn("pfreq", F.size("common")).where(F.col("pfreq") > 0)
+    if slop == 0:
+        # exact: phrase freq = |intersection of shifted position arrays|
+        inter = per_doc.withColumn(
+            "common",
+            F.aggregate(
+                F.expr("slice(slots, 2, size(slots) - 1)"),
+                F.col("slots")[0]["pos"],
+                lambda acc, s: F.array_intersect(acc, s["pos"]),
+            ),
+        ).withColumn("pfreq", F.size("common").cast("double")) \
+         .where(F.col("pfreq") > 0)
+    else:
+        # sloppy (approximate SloppyPhraseScorer, search/SloppyPhraseScorer
+        # .java 600 LoC): for each anchor a in the first term's shifted
+        # positions, dist(a) = sum_i min_p |p - a| over the other slots;
+        # matches with dist <= slop contribute sloppyFreq = 1/(dist+1)
+        # (BM25Similarity.java:70-72).  Reduces to exact when slop=0.
+        inter = per_doc.withColumn(
+            "pfreq", _sloppy_pfreq_udf(slop)(F.col("slots"))
+        ).where(F.col("pfreq") > 0)
 
     return inter.withColumn(
         "score",
         (F.lit(weight_value).cast(stype) * F.col("pfreq").cast(stype))
         / (F.col("pfreq").cast(stype) + scorer.norm_factor()),
     ).select("seg", "docid", "score")
+
+
+def _sloppy_pfreq_udf(slop: int):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pfreq(slots_series):  # pd.Series -> pd.Series (hints omitted: the
+        # local pandas import makes string annotations unresolvable for
+        # pandas_udf's signature inference)
+        out = []
+        for slots in slots_series:
+            arrays = [np.asarray(s["pos"], dtype=np.int64) for s in slots]
+            first, rest = arrays[0], arrays[1:]
+            total = 0.0
+            for a in first:
+                dist = 0
+                ok = True
+                for arr in rest:
+                    if arr.size == 0:
+                        ok = False
+                        break
+                    dist += int(np.abs(arr - a).min())
+                    if dist > slop:
+                        ok = False
+                        break
+                if ok:
+                    total += 1.0 / (dist + 1)
+            out.append(total)
+        return pd.Series(out)
+
+    return pfreq
 
 
 def explain(index: InvertedIndex, query_text: str, key: str) -> list[dict]:

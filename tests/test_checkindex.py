@@ -1,0 +1,52 @@
+"""validate_index: healthy indexes pass; corrupted ones are caught."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_old_spark.operators.checkindex import validate_index
+from lucene_solr_old_spark.operators.indexer import (
+    InvertedIndex, build_index, compress_index)
+from lucene_solr_old_spark.sources.pages import PAGES_SCHEMA, gen_pages
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = spark.createDataFrame(gen_pages(150, seed=55), schema=PAGES_SCHEMA)
+    return build_index(df, num_segments=3).persist()
+
+
+def test_healthy_index_validates(idx):
+    report = validate_index(idx)
+    assert all(v == 0 for v in report.values()), report
+
+
+def test_healthy_compressed_validates(idx):
+    report = validate_index(compress_index(idx))
+    assert all(v == 0 for v in report.values()), report
+
+
+def test_corruption_detected(idx):
+    # corrupt stored df on some rows
+    bad = InvertedIndex(
+        idx.postings.withColumn(
+            "df", F.when(F.col("term") == "run", F.col("df") + 1)
+            .otherwise(F.col("df"))),
+        idx.docmeta, idx.segstats, idx.with_positions, idx.analyzer)
+    report = validate_index(bad)
+    assert report["bad_df"] > 0
+
+    # corrupt a norm byte
+    bad2 = InvertedIndex(
+        idx.postings,
+        idx.docmeta.withColumn(
+            "norm", F.when(F.col("docid") == 0, 7).otherwise(F.col("norm"))),
+        idx.segstats, idx.with_positions, idx.analyzer)
+    report2 = validate_index(bad2)
+    assert report2["bad_norms"] > 0
+
+    # corrupt segstats
+    bad3 = InvertedIndex(
+        idx.postings, idx.docmeta,
+        idx.segstats.withColumn("max_doc", F.col("max_doc") + 5),
+        idx.with_positions, idx.analyzer)
+    assert validate_index(bad3)["bad_segstats"] > 0
