@@ -755,3 +755,63 @@ ORDER BY term LIMIT 1000""")
 def _q_term_range(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
     return SP.term_range(idx, "m", "s")
+
+
+@_reg("wildcard_query", f"""WITH {_PRELUDE}
+SELECT doc_id, count(DISTINCT term)::BIGINT AS nterms
+FROM tf WHERE regexp_matches(term, '^s.*k$')
+GROUP BY doc_id ORDER BY doc_id""")
+def _q_wildcard(spark, sf_dir):
+    # WildcardQuery s*k -> regexp intersection with the term dictionary
+    # (search/WildcardQuery.java; rewrite = constant-score expansion)
+    idx = doc_index(spark, sf_dir)
+    matched = (idx.postings.where(F.col("term").rlike("^s.*k$"))
+               .select("seg", F.col("term"),
+                       F.explode("postings.docid").alias("docid")))
+    per_doc = matched.groupBy("seg", "docid").agg(
+        F.count_distinct("term").alias("nterms"))
+    return (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("nterms").cast("long").alias("nterms"))
+            .orderBy("doc_id"))
+
+
+# ---- spans + common terms ---------------------------------------------------
+
+from .operators.spans import common_terms_query, span_near  # noqa: E402
+
+
+@_reg("common_terms_query", f"""WITH {_PRELUDE},
+low AS (
+  SELECT tf.doc_id, SUM({_TERM_SCORE}) AS s
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('vector','dup')
+    AND dfreq.df <= 0.3::DOUBLE * (SELECT max_doc FROM cs)
+  GROUP BY tf.doc_id
+),
+high AS (
+  SELECT tf.doc_id, SUM({_TERM_SCORE}) AS s
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('vector','dup')
+    AND dfreq.df > 0.3::DOUBLE * (SELECT max_doc FROM cs)
+  GROUP BY tf.doc_id
+)
+SELECT low.doc_id, round(low.s + coalesce(high.s, 0.0::DOUBLE), 4) AS score
+FROM low LEFT JOIN high ON low.doc_id = high.doc_id
+ORDER BY low.s + coalesce(high.s, 0.0::DOUBLE) DESC, low.doc_id LIMIT 20""")
+def _q_common_terms(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(common_terms_query(
+        idx, "vector dup", max_df_ratio=0.3, k=20, precision="float64"))
+
+
+@_reg("span_near", None)  # positions-window semantics, float32 kernel:
+# rows-only check (pytest covers semantics in tests/test_spans.py)
+def _q_span_near(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return span_near(idx, "spark join", slop=3, in_order=True, k=20).select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.round(F.col("score").cast("double"), 3).alias("score"))

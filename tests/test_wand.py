@@ -65,3 +65,45 @@ def test_compressed_save_load_roundtrip(spark, both_indexes, tmp_path):
     got = pairs(wand_search(loaded, "running meetings", k=10))
     exp = pairs(wand_search(comp, "running meetings", k=10))
     assert got == exp
+
+
+def test_blockmax_pruning_skips_blocks(monkeypatch):
+    """Mechanical pruning proof: with a selective high-weight term setting a
+    high threshold, most blocks of the low-weight common term are skipped
+    (decode counter via monkeypatch)."""
+    import numpy as np
+
+    from lucene_solr_old_spark.functions.bm25 import Bm25Stats
+    from lucene_solr_old_spark.operators import wand as W
+    from lucene_solr_old_spark.operators.codec import encode_blocks
+
+    rng = np.random.default_rng(5)
+    n_docs = 100_000
+    # common term: every doc, tf=1, long docs (weak scores)
+    common_ids = np.arange(n_docs)
+    common_blocks = encode_blocks(common_ids, np.ones(n_docs, int),
+                                  np.full(n_docs, 110))
+    # rare term: 50 docs, high tf, short docs (strong scores)
+    rare_ids = np.sort(rng.choice(n_docs, 50, replace=False))
+    rare_blocks = encode_blocks(rare_ids, np.full(50, 8),
+                                np.full(50, 124))
+    stats = Bm25Stats(n_docs, n_docs * 40)
+    weights = {"rare": stats.weight_value(50), "common": stats.weight_value(n_docs)}
+
+    calls = {"n": 0}
+    real_decode = W.decode_block
+
+    def counting_decode(blk, *a, **kw):
+        calls["n"] += 1
+        return real_decode(blk, *a, **kw)
+
+    monkeypatch.setattr(W, "decode_block", counting_decode)
+    d, s = W._disjunctive_kernel(
+        [("rare", rare_blocks), ("common", common_blocks)],
+        weights, stats.cache, k=10)
+    total_blocks = len(rare_blocks) + len(common_blocks)
+    assert calls["n"] < total_blocks * 0.25, (calls["n"], total_blocks)
+    # and the top-k is still correct: every rare doc beats common-only docs
+    order = np.lexsort((d, -s))[:10]
+    top = set(d[order].tolist())
+    assert top <= set(rare_ids.tolist())
