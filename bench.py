@@ -108,6 +108,23 @@ def main() -> None:
     timed("q_pages_or",
           lambda: S.search_or(pidx, "running meetings", k=10).collect())
 
+    # batch query throughput: 60 queries in ONE job (operators/batch.py)
+    import random as _random
+
+    from lucene_solr_old_spark.operators.batch import batch_search
+    from lucene_solr_old_spark.sources.pages import _VOCAB
+
+    rng = _random.Random(7)
+    words = ["running", "meetings", "caresses", "relational", "hopeful"]
+    batch_queries = []
+    for i in range(60):
+        n = 1 + i % 3
+        qs = [rng.choice(words) if rng.random() < 0.4 else rng.choice(_VOCAB)
+              for _ in range(n)]
+        batch_queries.append((i, " ".join(qs), "AND" if i % 5 == 4 else "OR"))
+    timed("batch_60q", lambda: batch_search(pidx, batch_queries, k=10).count())
+    extras["batch_queries_per_sec"] = round(60 / timings["batch_60q"], 1)
+
     # --- stage 3: pipeline ops --------------------------------------------
     toks = D.ws_tokens(docs, key_col="doc_key", text_col="text")
     timed("minhash_lsh", lambda: D.lsh_candidate_pairs(

@@ -815,3 +815,43 @@ def _q_span_near(spark, sf_dir):
     return span_near(idx, "spark join", slop=3, in_order=True, k=20).select(
         F.col("key").cast("long").alias("doc_id"),
         F.round(F.col("score").cast("double"), 3).alias("score"))
+
+
+# ---- batch query execution --------------------------------------------------
+
+from .operators.batch import batch_search  # noqa: E402
+
+
+def _batch_scored_sql(qid: int, terms: list[str], conj: bool) -> str:
+    tl = ",".join(f"'{t}'" for t in sorted(set(terms)))
+    having = f"HAVING count(*) = {len(set(terms))}" if conj else ""
+    return f"""
+  SELECT {qid} AS qid, tf.doc_id, SUM({_TERM_SCORE}) AS s
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ({tl})
+  GROUP BY tf.doc_id
+  {having}"""
+
+
+_BATCH_QUERIES = [(0, "spark join", "OR"), (1, "merge sort", "AND"),
+                  (2, "vector", "OR")]
+
+@_reg("batch_search", f"""WITH {_PRELUDE},
+allq AS ({" UNION ALL ".join(
+    _batch_scored_sql(q, t.split(), m == "AND")
+    for q, t, m in [(0, "spark join", "OR"), (1, "merge sort", "AND"),
+                    (2, "vector", "OR")])})
+SELECT qid, rank, doc_id, round(s, 4) AS score FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)
+           AS rank
+  FROM allq
+) WHERE rank <= 5 ORDER BY qid, rank""")
+def _q_batch(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    out = batch_search(idx, _BATCH_QUERIES, k=5, precision="float64")
+    return out.select("qid",
+                      F.col("rank").cast("long").alias("rank"),
+                      F.col("key").cast("long").alias("doc_id"),
+                      F.round(F.col("score"), 4).alias("score"))
