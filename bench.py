@@ -134,6 +134,57 @@ def main() -> None:
                 .select("embedding").first()[0])
     timed("cosine_topk", lambda: SIM.cosine_topk(emb, qvec, k=10).collect())
 
+    # --- rank-identity rate vs an in-process oracle (the BASELINE metric) --
+    def identity_rate():
+        from collections import Counter
+
+        import numpy as np
+
+        from lucene_solr_old_spark.functions.bm25 import Bm25Stats
+        from lucene_solr_old_spark.functions.smallfloat import doclen_to_norm
+        from lucene_solr_old_spark.functions.tokenizer import ws_stop_analyze
+
+        rows = docs.collect()
+        dmap, dlen, dfreq = {}, {}, Counter()
+        for r in rows:
+            terms = [t.term for t in ws_stop_analyze(r["text"])]
+            dmap[r["doc_key"]] = Counter(terms)
+            dlen[r["doc_key"]] = len(terms)
+            dfreq.update(set(terms))
+        stats = Bm25Stats(len(dmap), sum(dlen.values()))
+        qset = [(i, q, "OR") for i, q in enumerate(
+            ["spark", "join merge", "vector batch", "slow fast sort",
+             "window group agg", "customer line", "dup", "hash key",
+             "stream spark table", "scan filter order"])]
+        got = batch_search(idx, qset, k=10).collect()
+        by_qid = {}
+        for r in got:
+            by_qid.setdefault(r["qid"], []).append((r["rank"], r["key"]))
+        matches = 0
+        for qid, text, _m in qset:
+            terms = {t.term for t in ws_stop_analyze(text)}
+            exp = []
+            for key_, c in dmap.items():
+                s = 0.0
+                hit = False
+                for t in terms:
+                    tf = c.get(t, 0)
+                    if tf:
+                        hit = True
+                        s += float(stats.score(
+                            dfreq[t], np.array([tf]),
+                            np.array([doclen_to_norm(dlen[key_])]))[0])
+                if hit:
+                    exp.append((key_, np.float32(s)))
+            exp.sort(key=lambda x: (-x[1], x[0]))
+            exp_keys = [k_ for k_, _ in exp[:10]]
+            got_keys = [k_ for _r, k_ in sorted(by_qid.get(qid, []))]
+            matches += int(got_keys == exp_keys)
+        return matches / len(qset)
+
+    extras["rank_identity_rate_top10"] = timed("rank_identity",
+                                               identity_rate)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "index_build_plus_query_bench",
