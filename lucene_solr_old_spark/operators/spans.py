@@ -22,7 +22,7 @@ from ..functions.tokenizer import get_analyzer
 from .indexer import InvertedIndex
 from .search import _Scorer, _topk, term_score_frame
 
-__all__ = ["span_near", "common_terms_query"]
+__all__ = ["span_near", "common_terms_query", "multi_phrase"]
 
 
 def _span_freq_udf(n_terms: int, slop: int, in_order: bool):
@@ -157,3 +157,69 @@ def common_terms_query(index: InvertedIndex, query_text: str,
     else:
         per_doc = low_agg.withColumnRenamed("low_score", "score")
     return _topk(per_doc, index, k, precision)
+
+
+def multi_phrase(index: InvertedIndex, slots: list[list[str]],
+                 k: int = 10, precision: str = "float32") -> DataFrame:
+    """MultiPhraseQuery (``search/MultiPhraseQuery.java``): an exact phrase
+    where each position slot accepts a SET of terms (e.g. synonyms):
+    slots = [["new"], ["york", "jersey"]].  Per slot, the union of the
+    member terms' (shifted) positions feeds the same intersection used by
+    the exact-phrase plan; weight = summed idf over each slot's first
+    matching term set (the reference sums idf over all terms).
+    """
+    if not index.with_positions:
+        raise ValueError("index built without positions")
+    analyzer = get_analyzer(index.analyzer)
+    norm_slots = [
+        sorted({t.term for txt in slot for t in analyzer(txt)})
+        for slot in slots
+    ]
+    all_terms = sorted({t for s in norm_slots for t in s})
+    scorer = _Scorer(index, all_terms, precision)
+    # idf summed over every term of every slot (MultiPhraseQuery weights
+    # with idfExplain over the flat term array)
+    flat = [t for s in norm_slots for t in s]
+    s_acc = np.float32(0.0)
+    for t in flat:
+        s_acc = s_acc + scorer.stats.idf(scorer.tstats.get(t, (0, 0))[0])
+    weight_value = float(s_acc * (scorer.stats.k1 + np.float32(1.0)))
+    stype = "double" if precision == "float64" else "float"
+
+    frames = []
+    for i, slot_terms in enumerate(norm_slots):
+        f = (index.postings.where(F.col("term").isin(slot_terms))
+             .select("seg", F.explode("postings").alias("p"))
+             .select("seg", F.col("p.docid").alias("docid"),
+                     F.col("p.norm").alias("norm"),
+                     F.transform(F.col("p.positions"),
+                                 lambda c: c - F.lit(i)).alias("pos"))
+             .groupBy("seg", "docid")
+             .agg(F.first("norm").alias("norm"),
+                  F.array_sort(F.array_distinct(
+                      F.flatten(F.collect_list("pos")))).alias("pos"))
+             .withColumn("slot", F.lit(i)))
+        frames.append(f)
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    per_doc = union.groupBy("seg", "docid").agg(
+        F.count("*").alias("nslots"),
+        F.first("norm").alias("norm"),
+        F.array_sort(F.collect_list(F.struct("slot", "pos"))).alias("slots"),
+    ).where(F.col("nslots") == len(norm_slots))
+    inter = per_doc.withColumn(
+        "common",
+        F.aggregate(
+            F.expr("slice(slots, 2, size(slots) - 1)"),
+            F.col("slots")[0]["pos"],
+            lambda acc, s: F.array_intersect(acc, s["pos"]),
+        ),
+    ).withColumn("pfreq", F.size("common").cast("double")) \
+     .where(F.col("pfreq") > 0)
+    scored = inter.withColumn(
+        "score",
+        (F.lit(weight_value).cast(stype) * F.col("pfreq").cast(stype))
+        / (F.col("pfreq").cast(stype) + scorer.norm_factor()),
+    ).select("seg", "docid", "score")
+    return _topk(scored, index, k, precision)

@@ -63,3 +63,15 @@ def test_common_terms_matches_low_df_docs_only(spark, idx):
 def test_common_terms_all_high_falls_back(idx):
     got = common_terms_query(idx, "alpha gamma", max_df_ratio=0.01, k=10)
     assert len(keys(got)) > 0  # falls back to plain disjunction
+
+
+def test_multi_phrase(idx, spark):
+    from lucene_solr_old_spark.operators.spans import multi_phrase
+
+    # "alpha (beta|gamma)" — beta path matches d1/d6; gamma path d4/d5
+    got = keys(multi_phrase(idx, [["alpha"], ["beta", "gamma"]], k=10))
+    assert got == {"d1", "d4", "d5", "d6"}
+    # single-member slots degrade to exact phrase
+    exact = keys(multi_phrase(idx, [["alpha"], ["gamma"]], k=10))
+    from lucene_solr_old_spark.operators.search import search_phrase
+    assert exact == keys(search_phrase(idx, "alpha gamma", k=10))
