@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .indexer import InvertedIndex
 
 __all__ = ["TieredMergePlanner", "SegmentMeta", "merge_segments",
-           "delete_docs", "force_merge"]
+           "delete_docs", "force_merge", "upsert_docs"]
 
 
 @dataclass
@@ -225,3 +225,37 @@ def force_merge(index: InvertedIndex,
     (``IndexWriter.forceMerge``)."""
     segs = [r["seg"] for r in index.segstats.select("seg").collect()]
     return merge_segments(index, segs, 0, deleted_keys)
+
+
+def upsert_docs(index: InvertedIndex, new_docs, key_col: str = "url",
+                text_col: str = "text", html_col: str | None = None,
+                next_seg: int | None = None) -> InvertedIndex:
+    """updateDocument semantics (``IndexWriter.updateDocument`` = atomic
+    delete-by-key + add; Solr's versioned upsert,
+    ``DistributedUpdateProcessor.versionAdd``): rows in ``new_docs`` replace
+    any existing docs with the same key, landing as fresh segments.
+
+    The delete applies lazily through `delete_docs` (liveDocs-style masking
+    of the old segments); the adds build new segments numbered from
+    ``next_seg`` (default: max existing + 1).
+    """
+    from .indexer import build_index
+
+    if next_seg is None:
+        row = index.segstats.agg(F.max("seg")).collect()[0]
+        next_seg = int(row[0] or -1) + 1
+    keys = new_docs.select(F.col(key_col).alias("key")).distinct()
+    pruned = delete_docs(index, keys)
+    added = build_index(new_docs, key_col=key_col, text_col=text_col,
+                        html_col=html_col, num_segments=2,
+                        analyzer=index.analyzer,
+                        with_positions=index.with_positions)
+    shift = F.col("seg") + next_seg
+    return InvertedIndex(
+        pruned.postings.unionByName(
+            added.postings.withColumn("seg", shift.cast("int"))),
+        pruned.docmeta.unionByName(
+            added.docmeta.withColumn("seg", shift.cast("int"))),
+        pruned.segstats.unionByName(
+            added.segstats.withColumn("seg", shift.cast("int"))),
+        index.with_positions, index.analyzer)

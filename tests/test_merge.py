@@ -141,3 +141,32 @@ def test_checkpointed_build_resume(spark, docs_df, tmp_path):
     loaded = load_checkpointed(spark, path, 4)
     assert pairs(S.search_or(loaded, "running meetings", k=10)) == \
         pairs(S.search_or(plain, "running meetings", k=10))
+
+
+def test_upsert_docs(spark, docs_df, corpus):
+    from lucene_solr_old_spark.operators.merge import upsert_docs
+
+    idx = build_index(docs_df, num_segments=3)
+    # replace 3 docs with new text, add 2 brand-new docs
+    replaced = [(corpus[i][0], "running meetings replacement text")
+                for i in range(3)]
+    added = [(f"https://new{i}.com/x", "caresses ponies fresh")
+             for i in range(2)]
+    new_df = spark.createDataFrame(replaced + added, "url STRING, text STRING")
+    up = upsert_docs(idx, new_df)
+    # corpus size grew by exactly the brand-new docs
+    assert up.collection_stats()[0] == len(corpus) + 2
+    # replaced docs score under their NEW content
+    from lucene_solr_old_spark.operators.checkindex import validate_index
+    hits = {r["key"] for r in
+            S.search_and(up, "running meetings replacement", k=50).collect()}
+    assert {corpus[i][0] for i in range(3)} <= hits
+    # equivalent fresh build gives identical results
+    from pyspark.sql import functions as F2
+    repl_keys = [r[0] for r in replaced]
+    fresh_df = docs_df.where(~F2.col("url").isin(repl_keys)) \
+        .select("url", "text").unionByName(new_df)
+    fresh = build_index(fresh_df, num_segments=3)
+    for q in ["running meetings", "caresses ponies fresh"]:
+        assert pairs(S.search_or(up, q, k=10)) == \
+            pairs(S.search_or(fresh, q, k=10)), q
