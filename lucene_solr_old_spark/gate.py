@@ -855,3 +855,19 @@ def _q_batch(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"),
                       F.col("key").cast("long").alias("doc_id"),
                       F.round(F.col("score"), 4).alias("score"))
+
+
+# ---- highlighting -----------------------------------------------------------
+
+from .operators.highlight import highlight_first  # noqa: E402
+
+
+@_reg("highlight_snippet", """
+SELECT doc_id,
+       substr(text, greatest(1, instr(text, 'spark') - 20),
+              least(length(text), instr(text, 'spark') + 4 + 20)
+                - greatest(1, instr(text, 'spark') - 20) + 1) AS snippet
+FROM documents WHERE instr(text, 'spark') > 0 ORDER BY doc_id""")
+def _q_highlight(spark, sf_dir):
+    return (highlight_first(_docs(spark, sf_dir), "spark", frag=20)
+            .orderBy("doc_id"))

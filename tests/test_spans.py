@@ -75,3 +75,18 @@ def test_multi_phrase(idx, spark):
     exact = keys(multi_phrase(idx, [["alpha"], ["gamma"]], k=10))
     from lucene_solr_old_spark.operators.search import search_phrase
     assert exact == keys(search_phrase(idx, "alpha gamma", k=10))
+
+
+def test_highlight_analyzed(spark):
+    from lucene_solr_old_spark.operators.highlight import highlight_analyzed
+
+    df = spark.createDataFrame(
+        [("a", "The Running foxes were meeting near the river."),
+         ("b", "nothing to see here"),
+         ("c", "run " + "x" * 200 + " running")],
+        "key STRING, text STRING")
+    out = {r["key"]: r["snippet"]
+           for r in highlight_analyzed(df, "running", frag=10).collect()}
+    assert "b" not in out
+    assert "<em>Running</em>" in out["a"]     # stem match, original casing
+    assert out["c"].startswith("<em>run</em>")  # first match wins the fragment

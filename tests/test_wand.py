@@ -107,3 +107,43 @@ def test_blockmax_pruning_skips_blocks(monkeypatch):
     order = np.lexsort((d, -s))[:10]
     top = set(d[order].tolist())
     assert top <= set(rare_ids.tolist())
+
+
+def test_kernel_randomized_vs_bruteforce():
+    """Property test: the disjunctive kernel == brute-force scoring on
+    random posting lists (200 random cases, pure NumPy, no Spark)."""
+    import numpy as np
+
+    from lucene_solr_old_spark.functions.bm25 import Bm25Stats
+    from lucene_solr_old_spark.operators.codec import encode_blocks
+    from lucene_solr_old_spark.operators.wand import _disjunctive_kernel
+
+    rng = np.random.default_rng(17)
+    for case in range(200):
+        n_docs = int(rng.integers(5, 3000))
+        n_terms = int(rng.integers(1, 5))
+        k = int(rng.integers(1, 15))
+        stats = Bm25Stats(n_docs, int(n_docs * rng.integers(5, 60)))
+        term_rows, weights = [], {}
+        brute = {}
+        for ti in range(n_terms):
+            df = int(rng.integers(1, n_docs + 1))
+            ids = np.sort(rng.choice(n_docs, df, replace=False))
+            tf = rng.integers(1, 20, df)
+            nb = rng.integers(100, 140, df)
+            name = f"t{ti}"
+            term_rows.append((name, encode_blocks(ids, tf, nb)))
+            w = stats.weight_value(df)
+            weights[name] = w
+            f32 = tf.astype(np.float32)
+            sc = (np.float32(w) * f32) / (f32 + stats.cache[nb])
+            for d, s in zip(ids, sc):
+                brute[int(d)] = np.float32(brute.get(int(d), np.float32(0))
+                                           + s)
+        exp = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        d, s = _disjunctive_kernel(term_rows, weights, stats.cache, k)
+        order = np.lexsort((d, -s))[:k]
+        got = [(int(d[i]), np.float32(s[i])) for i in order]
+        assert [g[0] for g in got] == [e[0] for e in exp], case
+        for (gd, gs), (_ed, es) in zip(got, exp):
+            assert abs(float(gs) - float(es)) < 1e-5, (case, gd)
