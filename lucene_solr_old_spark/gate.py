@@ -109,18 +109,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
-    """Build (once per sf_dir) the ws_stop index over documents.
+    """Build (once per (session, sf_dir)) the ws_stop index over documents.
 
     Keys are zero-padded doc ids so string order == numeric order (the
-    engine's canonical tie-break key)."""
-    if sf_dir not in _INDEX_CACHE:
+    engine's canonical tie-break key).  Cache is keyed by the SparkSession
+    too: a driver that opens a fresh session per query must not receive
+    DataFrames bound to a stopped session."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key not in _INDEX_CACHE:
         docs = _docs(spark, sf_dir).select(
             F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
             "text")
         idx = build_index(docs, key_col="doc_key", text_col="text",
                           num_segments=4, analyzer="ws_stop").persist()
-        _INDEX_CACHE[sf_dir] = idx
-    return _INDEX_CACHE[sf_dir]
+        _INDEX_CACHE[cache_key] = idx
+    return _INDEX_CACHE[cache_key]
 
 
 def _as_docid_score(df: DataFrame) -> DataFrame:
@@ -698,7 +701,7 @@ def _q_wand(spark, sf_dir):
     from .operators.indexer import compress_index
     from .operators.wand import wand_search
 
-    key = sf_dir + "::compressed"
+    key = (id(spark), sf_dir + "::compressed")
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = compress_index(doc_index(spark, sf_dir)).persist()
     cidx = _INDEX_CACHE[key]
