@@ -874,3 +874,34 @@ FROM documents WHERE instr(text, 'spark') > 0 ORDER BY doc_id""")
 def _q_highlight(spark, sf_dir):
     return (highlight_first(_docs(spark, sf_dir), "spark", frag=20)
             .orderBy("doc_id"))
+
+
+@_reg("phrase_sloppy", f"""WITH {_PRELUDE},
+anchors AS (
+  -- slot-0 anchors vs slot-1 positions shifted by -1; dist = min |p1' - p0|
+  SELECT a.doc_id, a.pos AS apos, min(abs((b.pos - 1) - a.pos)) AS dist
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+  WHERE a.term = 'batch' AND b.term = 'stream'
+  GROUP BY a.doc_id, a.pos
+),
+pf AS (
+  SELECT doc_id, SUM(1.0::DOUBLE / (dist + 1)) AS pfreq
+  FROM anchors WHERE dist <= 2 GROUP BY doc_id
+),
+w AS (
+  SELECT ((SELECT ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)/(df + 0.5::DOUBLE))
+           FROM dfreq WHERE term = 'batch')
+        + (SELECT ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)/(df + 0.5::DOUBLE))
+           FROM dfreq WHERE term = 'stream')) * 2.2::DOUBLE AS wv
+)
+SELECT pf.doc_id,
+       round(((SELECT wv FROM w) * pf.pfreq)
+             / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+ORDER BY ((SELECT wv FROM w) * pf.pfreq)
+         / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})) DESC, pf.doc_id
+LIMIT 20""")
+def _q_phrase_sloppy(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(S.search_phrase(
+        idx, "batch stream", k=20, precision="float64", slop=2))
