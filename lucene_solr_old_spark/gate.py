@@ -905,3 +905,25 @@ def _q_phrase_sloppy(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
     return _as_docid_score(S.search_phrase(
         idx, "batch stream", k=20, precision="float64", slop=2))
+
+
+# ---- pivot facets -----------------------------------------------------------
+
+from .operators.facets import facet_pivot, matching_docs  # noqa: E402
+
+
+@_reg("facet_pivot", f"""WITH {_PRELUDE}
+SELECT d.lang, (d.n_chars // 100 * 100)::BIGINT AS bucket,
+       count(*)::BIGINT AS cnt
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark') m
+JOIN documents d USING(doc_id)
+GROUP BY d.lang, bucket ORDER BY lang, bucket""")
+def _q_facet_pivot(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    docs_dim = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        "lang",
+        (F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket"))
+    hits = matching_docs(idx, ["spark"])
+    return (facet_pivot(hits, docs_dim, ["lang", "bucket"])
+            .select("lang", "bucket", F.col("cnt").cast("long").alias("cnt")))

@@ -23,7 +23,7 @@ from .indexer import InvertedIndex
 from .search import term_score_frame
 
 __all__ = ["matching_docs", "facet_field", "facet_range", "facet_queries",
-           "stats_agg", "group_topk"]
+           "facet_pivot", "stats_agg", "group_topk"]
 
 
 def matching_docs(index: InvertedIndex, terms: list[str],
@@ -119,3 +119,17 @@ def group_topk(index: InvertedIndex, terms: list[str], dims: DataFrame,
     return (hits.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k_per_group)
             .orderBy(group_field, "rnk"))
+
+
+def facet_pivot(result_docs: DataFrame, dims: DataFrame,
+                fields: list[str], key_col: str = "key",
+                mincount: int = 1) -> DataFrame:
+    """Pivot (hierarchical) facets — facet.pivot semantics
+    (``solr/.../handler/component/PivotFacetHelper``): nested value counts
+    across several fields, one row per leaf combination, ordered by the
+    field hierarchy.  A single multi-column groupBy in Spark."""
+    joined = result_docs.join(dims, key_col)
+    return (joined.groupBy(*fields)
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= mincount)
+            .orderBy(*fields))
