@@ -83,3 +83,26 @@ def test_stats_and_grouping(setup):
         assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_get_docs_and_term_vector(spark, setup):
+    from lucene_solr_old_spark.operators.docfetch import get_docs, term_vector
+
+    corpus, idx, dims = setup
+    keys = [corpus[0][0], corpus[1][0]]
+    got = get_docs(idx, keys, stored=dims).collect()
+    assert {r["key"] for r in got} == set(keys)
+    assert all(r["lang"] is not None and r["doclen"] > 0 for r in got)
+
+    df = spark.createDataFrame(
+        [(u, t) for u, _ts, _h, t, _l in corpus[:3]], "key STRING, text STRING")
+    tv = term_vector(df, [corpus[0][0]]).collect()
+    # cross-check against the index's own postings for that doc
+    from collections import Counter
+
+    from lucene_solr_old_spark.functions.tokenizer import analyze
+    exp = Counter(t.term for t in analyze(corpus[0][3]))
+    got_tv = {r["term"]: r["freq"] for r in tv}
+    assert got_tv == dict(exp)
+    for r in tv:
+        assert len(r["positions"]) == r["freq"]
