@@ -927,3 +927,31 @@ def _q_facet_pivot(spark, sf_dir):
     hits = matching_docs(idx, ["spark"])
     return (facet_pivot(hits, docs_dim, ["lang", "bucket"])
             .select("lang", "bucket", F.col("cnt").cast("long").alias("cnt")))
+
+
+# ---- drill-sideways ----------------------------------------------------------
+
+from .operators.facets import drill_sideways  # noqa: E402
+
+
+@_reg("drill_sideways", f"""WITH {_PRELUDE},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+j AS (SELECT d.doc_id, d.lang, (d.n_chars // 100 * 100)::BIGINT AS bucket
+      FROM m JOIN documents d USING(doc_id))
+SELECT dim, value, cnt FROM (
+  SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt
+  FROM j WHERE bucket = 200 GROUP BY lang
+  UNION ALL
+  SELECT 'bucket' AS dim, bucket::VARCHAR AS value, count(*)::BIGINT AS cnt
+  FROM j WHERE lang = 'en' GROUP BY bucket
+) ORDER BY dim, value""")
+def _q_drill_sideways(spark, sf_dir):
+    idx = doc_index(spark, sf_dir)
+    dims_df = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        "lang",
+        (F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket"))
+    hits = matching_docs(idx, ["spark"])
+    return (drill_sideways(hits, dims_df,
+                           {"lang": "en", "bucket": 200})
+            .select("dim", "value", F.col("cnt").cast("long").alias("cnt")))

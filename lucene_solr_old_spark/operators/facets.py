@@ -133,3 +133,30 @@ def facet_pivot(result_docs: DataFrame, dims: DataFrame,
             .agg(F.count("*").alias("cnt"))
             .where(F.col("cnt") >= mincount)
             .orderBy(*fields))
+
+
+def drill_sideways(result_docs: DataFrame, dims: DataFrame,
+                   filters: dict[str, object],
+                   key_col: str = "key") -> DataFrame:
+    """Drill-sideways facet counts (``lucene/facet/.../DrillSideways.java``):
+    for each filtered dimension, value counts over the docs matching the
+    query AND every OTHER dimension's filter — so the UI can show what the
+    counts would be if this dimension's choice were relaxed.
+
+    Returns (dim, value, cnt) for every filter key.  One groupBy per
+    dimension over the shared joined frame (Catalyst reuses the join)."""
+    joined = result_docs.join(dims, key_col)
+    frames = []
+    for dim in filters:
+        others = joined
+        for other_dim, val in filters.items():
+            if other_dim != dim:
+                others = others.where(F.col(other_dim) == val)
+        frames.append(
+            others.groupBy(F.col(dim).cast("string").alias("value"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(dim).alias("dim"), "value", "cnt"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("dim", "value")
