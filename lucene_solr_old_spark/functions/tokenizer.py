@@ -58,14 +58,18 @@ class Token(NamedTuple):
 
 
 def standard_tokenize(text: str):
-    """Raw StandardTokenizer pass: yields (term, position, start, end)
-    with consecutive positions, dropping over-long tokens."""
+    """Raw StandardTokenizer pass: yields (term, position, start, end),
+    dropping over-long tokens but leaving a POSITION HOLE for each (the
+    reference counts skipped over-long tokens in ``skippedPositions`` and
+    adds them to the next token's position increment —
+    ``standard/StandardTokenizer.java:142-152,171``), so phrase/span
+    positions after an over-long token match the reference."""
     pos = -1
     for m in TOKEN_RE.finditer(text):
         t = m.group(0)
+        pos += 1
         if len(t) > MAX_TOKEN_LENGTH:
             continue
-        pos += 1
         yield Token(t, pos, m.start(), m.end())
 
 

@@ -106,7 +106,14 @@ def _compressed_checks(index: InvertedIndex) -> dict[str, int]:
             "block_docids_not_monotone": int(res[1] or 0)}
 
 
-def validate_index(index: InvertedIndex) -> dict[str, int]:
+def validate_index(index: InvertedIndex,
+                   masked_deletes: bool = False) -> dict[str, int]:
+    """``masked_deletes=True`` validates an index after
+    ``delete_docs(..., keep_stats=True)`` — liveDocs-style masking where
+    docid holes are legal and segstats still count deleted docs (the
+    reference keeps pre-delete maxDoc/sumTotalTermFreq until merge):
+    docids must stay unique and < max_doc, and segstats bounds become
+    ``max_doc >= live count`` / ``sum_ttf >= sum(doclen)``."""
     out: dict[str, int] = {}
     if "blocks" in index.postings.columns:
         out.update(_compressed_checks(index))
@@ -122,13 +129,17 @@ def validate_index(index: InvertedIndex) -> dict[str, int]:
         F.min("docid").alias("mn"),
         F.max("docid").alias("mx"),
     )
+    if masked_deletes:
+        seg_agg = seg_agg.join(
+            index.segstats.select("seg", F.col("max_doc").alias("_md")), "seg")
+        dense_bad = (F.col("mn") < 0) | (F.col("mx") >= F.col("_md"))
+    else:
+        dense_bad = (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
     bad = seg_agg.select(
         F.sum(F.when((F.col("nd") != F.col("n"))
                      | (F.col("nk") != F.col("n")), 1).otherwise(0))
         .alias("dup_docs"),
-        F.sum(F.when((F.col("mn") != 0)
-                     | (F.col("mx") != F.col("n") - 1), 1).otherwise(0))
-        .alias("non_dense_docids"),
+        F.sum(F.when(dense_bad, 1).otherwise(0)).alias("non_dense_docids"),
     ).collect()[0]
     out["dup_docs"] = int(bad["dup_docs"] or 0)
     out["non_dense_docids"] = int(bad["non_dense_docids"] or 0)
@@ -146,8 +157,11 @@ def validate_index(index: InvertedIndex) -> dict[str, int]:
     derived = meta.groupBy("seg").agg(
         F.count("*").alias("d_max_doc"), F.sum("doclen").alias("d_sum_ttf"))
     joined = index.segstats.join(derived, "seg", "full")
-    bad_stats = joined.where(
-        (F.col("max_doc") != F.col("d_max_doc"))
-        | (F.col("sum_ttf") != F.col("d_sum_ttf"))).count()
-    out["bad_segstats"] = int(bad_stats)
+    if masked_deletes:
+        stats_bad = ((F.col("max_doc") < F.col("d_max_doc"))
+                     | (F.col("sum_ttf") < F.col("d_sum_ttf")))
+    else:
+        stats_bad = ((F.col("max_doc") != F.col("d_max_doc"))
+                     | (F.col("sum_ttf") != F.col("d_sum_ttf")))
+    out["bad_segstats"] = int(joined.where(stats_bad).count())
     return out

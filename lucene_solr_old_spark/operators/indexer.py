@@ -2,7 +2,7 @@
 
 Spark-first restatement of the reference build pipeline (SURVEY.md §3.1):
 
-  * partition == DocumentsWriterPerThread: ``repartitionByRange(key)`` +
+  * partition == DocumentsWriterPerThread: hash ``repartition(n, key)`` +
     ``sortWithinPartitions(key)`` gives deterministic segment membership and
     a deterministic segment-local docID (= rank of key within segment) under
     ANY parallelism — the engine's substitute for Lucene's insertion-order

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .indexer import InvertedIndex
 
 __all__ = ["TieredMergePlanner", "SegmentMeta", "merge_segments",
-           "delete_docs", "force_merge", "upsert_docs"]
+           "delete_docs", "force_merge", "upsert_docs", "versioned_upsert"]
 
 
 @dataclass
@@ -152,13 +152,28 @@ def merge_segments(index: InvertedIndex, seg_ids: list[int],
     in_merge = F.col("seg").isin(seg_ids)
 
     # --- docmeta: drop deletes, renumber densely in (seg, docid) order ----
+    # MergeState.DocMap semantics without a global sort: per-source-segment
+    # live counts -> driver-side prefix-sum base offsets (k tiny values) ->
+    # new_docid = base[seg] + rank within segment.  The window partitions by
+    # source segment, so renumbering parallelizes across segments instead of
+    # funnelling every surviving row through one task (the reference maps
+    # docids per-reader the same way: ``index/MergeState.java DocMap``).
     src_meta = index.docmeta.where(in_merge)
     if deleted_keys is not None:
         src_meta = src_meta.join(deleted_keys, "key", "left_anti")
-    w = Window.orderBy("seg", "docid")  # single merged segment: global order
+    counts = {r["seg"]: r["n"] for r in
+              src_meta.groupBy("seg").agg(F.count("*").alias("n")).collect()}
+    base, acc = {}, 0
+    for s in sorted(counts):
+        base[s] = acc
+        acc += counts[s]
+    base_col = F.create_map(*[x for s, b in base.items()
+                              for x in (F.lit(s), F.lit(b))])
+    w = Window.partitionBy("seg").orderBy("docid")
     docmap = src_meta.select(
         "seg", "docid",
-        (F.row_number().over(w) - 1).alias("new_docid"),
+        (base_col[F.col("seg")] + F.row_number().over(w) - 1)
+        .cast("int").alias("new_docid"),
     )
     new_meta = (src_meta.join(docmap, ["seg", "docid"])
                 .select(F.lit(target_seg).alias("seg"),
@@ -195,10 +210,26 @@ def merge_segments(index: InvertedIndex, seg_ids: list[int],
     )
 
 
-def delete_docs(index: InvertedIndex, deleted_keys: DataFrame) -> InvertedIndex:
+def delete_docs(index: InvertedIndex, deleted_keys: DataFrame,
+                keep_stats: bool = False) -> InvertedIndex:
     """Buffered-delete application without merging: rebuild every affected
     segment's docmeta/postings minus the deleted keys (docids preserved —
-    like liveDocs masking, holes allowed; maxDoc shrinks to live count)."""
+    like liveDocs masking, holes allowed).
+
+    ``keep_stats`` chooses between two documented stat semantics:
+
+      * ``True`` — reference-faithful: ``CollectionStatistics.maxDoc`` /
+        ``sumTotalTermFreq`` keep COUNTING DELETED DOCS until they are
+        merged away (``search/CollectionStatistics.java``; norms/stats of
+        masked docs survive in ``index/StandardDirectoryReader`` readers),
+        so idf/avgdl — and scores — are unchanged by a delete-without-merge.
+        ``validate_index(..., masked_deletes=True)`` accepts the resulting
+        docid holes and over-counted segstats.
+      * ``False`` (default) — exact stats recomputed from live docs only:
+        scores match a fresh build of the surviving corpus (the behavior
+        the engine's oracle gates certify).  Diverges from the reference
+        after deletes-without-merge by design.
+    """
     live_meta = index.docmeta.join(deleted_keys, "key", "left_anti")
     live_ids = live_meta.select("seg", "docid")
     wp = index.with_positions
@@ -214,8 +245,11 @@ def delete_docs(index: InvertedIndex, deleted_keys: DataFrame) -> InvertedIndex:
                       F.sum("freq").cast("long").alias("ttf"),
                       F.sort_array(F.collect_list(F.struct(*pcols)))
                       .alias("postings")))
-    new_stats = live_meta.groupBy("seg").agg(
-        F.count("*").alias("max_doc"), F.sum("doclen").alias("sum_ttf"))
+    if keep_stats:
+        new_stats = index.segstats
+    else:
+        new_stats = live_meta.groupBy("seg").agg(
+            F.count("*").alias("max_doc"), F.sum("doclen").alias("sum_ttf"))
     return InvertedIndex(new_posts, live_meta, new_stats, wp, index.analyzer)
 
 
@@ -259,3 +293,54 @@ def upsert_docs(index: InvertedIndex, new_docs, key_col: str = "url",
         pruned.segstats.unionByName(
             added.segstats.withColumn("seg", shift.cast("int"))),
         index.with_positions, index.analyzer)
+
+
+def versioned_upsert(index: InvertedIndex, versions: DataFrame,
+                     new_docs: DataFrame, key_col: str = "url",
+                     text_col: str = "text", version_col: str = "warc_ts",
+                     html_col: str | None = None,
+                     next_seg: int | None = None
+                     ) -> tuple[InvertedIndex, DataFrame]:
+    """Optimistic-concurrency upsert — Solr's ``_version_`` guard
+    (``solr/core/.../processor/DistributedUpdateProcessor.java:568-598``
+    ``versionAdd``: an incoming doc is applied only when its version is
+    GREATER than the stored version for the same key; a stale update is
+    rejected).
+
+    ``versions`` is the engine's update-log analogue (``update/UpdateLog``
+    keeps ``_version_`` per key): a (key, version) DataFrame describing the
+    live index.  Returns ``(new_index, new_versions)``; the caller persists
+    ``new_versions`` alongside the index.
+
+    Semantics applied distributively:
+      * within the incoming batch, the highest-version row per key wins
+        (later internal versions supersede earlier — leader re-order);
+      * a winner is applied iff no stored version for its key is >= it;
+      * surviving rows flow through :func:`upsert_docs` (delete-by-key +
+        fresh segments).
+    """
+    incoming = new_docs.select(
+        F.col(key_col).alias("key"),
+        F.col(version_col).cast("long").alias("version"),
+        *[c for c in new_docs.columns if c not in (key_col, version_col)])
+    w = Window.partitionBy("key").orderBy(F.desc("version"))
+    batch_best = (incoming.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+    cur = versions.select(F.col("key"),
+                          F.col("version").cast("long").alias("_cur_v"))
+    winners = (batch_best.join(cur, "key", "left")
+               .where(F.col("_cur_v").isNull()
+                      | (F.col("version") > F.col("_cur_v")))
+               .drop("_cur_v"))
+    applied = winners.select(
+        F.col("key").alias(key_col),
+        F.col(text_col),
+        *([F.col(html_col)] if html_col else []),
+        F.col("version").alias(version_col))
+    new_index = upsert_docs(index, applied, key_col=key_col,
+                            text_col=text_col, html_col=html_col,
+                            next_seg=next_seg)
+    new_versions = (cur.withColumnRenamed("_cur_v", "version")
+                    .join(winners.select("key"), "key", "left_anti")
+                    .unionByName(winners.select("key", "version")))
+    return new_index, new_versions

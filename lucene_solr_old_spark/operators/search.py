@@ -195,13 +195,30 @@ def search_terms(index: InvertedIndex, query_text: str, mode: str = "OR",
             F.col("key"), F.lit(0.0).cast("float").alias("score")).limit(0)
     scored, _ = term_score_frame(index, terms, precision=precision)
 
-    agg = scored.groupBy("seg", "docid").agg(
-        F.sum("score").alias("score"),
-        F.count_distinct("term").alias("nmatched"),
-    )
-    uniq = len(set(terms))
+    # BooleanQuery scores a repeated term ONCE PER CLAUSE (each duplicate is
+    # its own TermQuery clause: "a a b" doubles a's contribution) and counts
+    # CLAUSES for AND / minNrShouldMatch (``BooleanQuery.java`` clause list;
+    # ``MinShouldMatchSumScorer.java:36``).  Weight each distinct term's
+    # score and match-count by its multiplicity; multiplicity-1 queries keep
+    # the plain plan.
+    mult = {t: terms.count(t) for t in set(terms)}
+    if any(m > 1 for m in mult.values()):
+        mcol = F.create_map(*[x for t, m in mult.items()
+                              for x in (F.lit(t), F.lit(m))])
+        scored = scored.withColumn(
+            "score", F.col("score") * mcol[F.col("term")].cast(
+                "double" if precision == "float64" else "float"))
+        agg = scored.groupBy("seg", "docid").agg(
+            F.sum("score").alias("score"),
+            F.sum(mcol[F.col("term")]).alias("nmatched"),
+        )
+    else:
+        agg = scored.groupBy("seg", "docid").agg(
+            F.sum("score").alias("score"),
+            F.count_distinct("term").alias("nmatched"),
+        )
     if mode.upper() == "AND":
-        agg = agg.where(F.col("nmatched") == uniq)
+        agg = agg.where(F.col("nmatched") == len(terms))
     elif min_should_match > 1:
         agg = agg.where(F.col("nmatched") >= min_should_match)
 

@@ -7,8 +7,9 @@ The reference's NRT surface (SURVEY.md §2.9) re-expressed:
     loading the index afterwards sees them — snapshot semantics come from
     the storage layer (Iceberg snapshots in production; parquet dirs here);
   * transaction log / replay (``UpdateLog.java:779-812``) ->
-    Structured Streaming's checkpoint dir gives exactly-once batch replay,
-    so a crashed indexer resumes at the failed micro-batch;
+    Structured Streaming's checkpoint dir replays the failed micro-batch
+    (at-least-once); the flush itself is made idempotent per batch_id via
+    dynamic partition overwrite, so replay achieves effective exactly-once;
   * ``CommitTracker`` auto-commit thresholds -> the stream trigger.
 
 Each micro-batch builds ``segments_per_batch`` segments labeled
@@ -26,7 +27,51 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.indexer import InvertedIndex, build_index, load_index
 
-__all__ = ["start_incremental_indexer", "open_nrt_reader"]
+__all__ = ["start_incremental_indexer", "open_nrt_reader",
+           "flush_index_batch"]
+
+
+def flush_index_batch(batch_df: DataFrame, batch_id: int, index_path: str,
+                      key_col: str = "url", text_col: str = "text",
+                      html_col: str | None = None,
+                      analyzer: str = "english",
+                      segments_per_batch: int = 2) -> None:
+    """Build and publish one micro-batch's segments — idempotent per
+    batch_id (safe under foreachBatch's at-least-once replay)."""
+    if batch_df.isEmpty():
+        return
+    idx = build_index(batch_df, key_col=key_col, text_col=text_col,
+                      html_col=html_col, analyzer=analyzer,
+                      num_segments=segments_per_batch)
+    base = batch_id * segments_per_batch
+    relabeled = InvertedIndex(
+        idx.postings.withColumn("seg", (F.col("seg") + base).cast("int")),
+        idx.docmeta.withColumn("seg", (F.col("seg") + base).cast("int")),
+        idx.segstats.withColumn("seg", (F.col("seg") + base).cast("int")),
+        idx.with_positions, idx.analyzer)
+    # IDEMPOTENT flush: foreachBatch is at-least-once (a crash between
+    # the write and the streaming-checkpoint commit replays the batch),
+    # so a blind append would duplicate the batch's segments.  Segment
+    # ids are a pure function of batch_id, so dynamic partition
+    # overwrite (replace exactly the seg= partitions this batch owns,
+    # leave all others) makes the replay rewrite the same segments
+    # instead of appending twins — the transaction-log replay semantics
+    # of ``update/UpdateLog.java:779-812`` (replayed ops overwrite,
+    # not duplicate).  segstats is written seg-partitioned too so its
+    # rows are replaced by the same mechanism.
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        relabeled.postings.write.mode("overwrite") \
+            .partitionBy("seg").parquet(os.path.join(index_path, "postings"))
+        relabeled.docmeta.write.mode("overwrite") \
+            .partitionBy("seg").parquet(os.path.join(index_path, "docmeta"))
+        relabeled.segstats.write.mode("overwrite") \
+            .partitionBy("seg").parquet(os.path.join(index_path, "segstats"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def start_incremental_indexer(
@@ -40,28 +85,14 @@ def start_incremental_indexer(
     segments_per_batch: int = 2,
     trigger_once: bool = True,
 ):
-    """Attach a foreachBatch sink that appends index segments per batch.
+    """Attach a foreachBatch sink that publishes index segments per batch.
     Returns the StreamingQuery (caller awaits/stops)."""
 
     def flush_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        idx = build_index(batch_df, key_col=key_col, text_col=text_col,
-                          html_col=html_col, analyzer=analyzer,
-                          num_segments=segments_per_batch)
-        base = batch_id * segments_per_batch
-        relabeled = InvertedIndex(
-            idx.postings.withColumn("seg", (F.col("seg") + base).cast("int")),
-            idx.docmeta.withColumn("seg", (F.col("seg") + base).cast("int")),
-            idx.segstats.withColumn("seg", (F.col("seg") + base).cast("int")),
-            idx.with_positions, idx.analyzer)
-        # append-mode flush = segment publish (order within batch irrelevant)
-        relabeled.postings.write.mode("append").partitionBy("seg").parquet(
-            os.path.join(index_path, "postings"))
-        relabeled.docmeta.write.mode("append").partitionBy("seg").parquet(
-            os.path.join(index_path, "docmeta"))
-        relabeled.segstats.write.mode("append").parquet(
-            os.path.join(index_path, "segstats"))
+        flush_index_batch(batch_df, batch_id, index_path, key_col=key_col,
+                          text_col=text_col, html_col=html_col,
+                          analyzer=analyzer,
+                          segments_per_batch=segments_per_batch)
 
     writer = (stream_df.writeStream
               .foreachBatch(flush_batch)

@@ -234,3 +234,35 @@ def test_extractor_invariant_on_corpus(corpus):
     """byte-identical extracted text per url (BASELINE.json input_hint)."""
     for url, _ts, html, text, _lang in corpus:
         assert html_to_text(html) == text, url
+
+
+def test_repeated_term_scores_once_per_clause(index, oracle):
+    """BooleanQuery "a a b": the repeated term is two SHOULD clauses and
+    contributes its TermQuery score twice (BooleanQuery.java clause list);
+    min_should_match counts clauses."""
+    got = rows_to_pairs(S.search_or(index, "caresses caresses ponies", k=10))
+    # expected: score(caress)*2 + score(poni), float64-accumulated
+    exp = []
+    for url, c in oracle.docs.items():
+        s = 0.0
+        matched = 0
+        for t, mult in (("caress", 2), ("poni", 1)):
+            tf = c.get(t, 0)
+            if tf == 0:
+                continue
+            matched += mult
+            part = oracle.stats.score(
+                oracle.df[t], np.array([tf]),
+                np.array([doclen_to_norm(oracle.doclen[url])]))
+            s += float(part[0]) * mult
+        if matched:
+            exp.append((url, float(np.float32(s))))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert_rank_identical(got, exp[:10])
+    # AND with a repeated term still requires only the distinct terms
+    got_and = rows_to_pairs(
+        S.search_and(index, "caresses caresses ponies", k=10))
+    exp_and = [e for e in exp
+               if oracle.docs[e[0]].get("caress", 0) > 0
+               and oracle.docs[e[0]].get("poni", 0) > 0]
+    assert [k for k, _ in got_and] == [k for k, _ in exp_and[:10]]

@@ -170,3 +170,72 @@ def test_upsert_docs(spark, docs_df, corpus):
     for q in ["running meetings", "caresses ponies fresh"]:
         assert pairs(S.search_or(up, q, k=10)) == \
             pairs(S.search_or(fresh, q, k=10)), q
+
+
+def test_merge_renumbering_has_no_global_window(spark, docs_df):
+    """MergeState.DocMap renumbering must not funnel all rows through one
+    task: the docid-rebase plan may not contain a single-partition
+    exchange (the WindowExec-with-empty-partitionBy smell)."""
+    idx = build_index(docs_df, num_segments=3)
+    merged = merge_segments(idx, [0, 1, 2], target_seg=0)
+    plan = merged.docmeta._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_delete_docs_keep_stats(spark, docs_df, corpus):
+    """keep_stats=True preserves pre-delete collection stats (the reference
+    counts deleted docs in maxDoc/sumTotalTermFreq until merge), so scores
+    are unchanged by a delete-without-merge for surviving docs."""
+    from lucene_solr_old_spark.operators.checkindex import validate_index
+
+    idx = build_index(docs_df, num_segments=3)
+    stats_before = idx.collection_stats()
+    del_keys = [corpus[i][0] for i in range(5)]
+    del_df = spark.createDataFrame([(k,) for k in del_keys], "key STRING")
+    masked = delete_docs(idx, del_df, keep_stats=True)
+    assert masked.collection_stats() == stats_before
+    # deleted docs never surface
+    hits = {r["key"] for r in S.search_or(masked, "running", k=200).collect()}
+    assert not (set(del_keys) & hits)
+    # masked-delete validation accepts holes + over-counted stats
+    report = validate_index(masked, masked_deletes=True)
+    assert all(v == 0 for v in report.values()), report
+    # strict validation still flags the holes (documented divergence)
+    strict = validate_index(masked)
+    assert strict["bad_segstats"] > 0 or strict["non_dense_docids"] > 0
+
+
+def test_versioned_upsert_optimistic_concurrency(spark, docs_df, corpus):
+    """DistributedUpdateProcessor.versionAdd: stale update rejected, newer
+    wins; within a batch the highest version per key wins."""
+    from lucene_solr_old_spark.operators.merge import versioned_upsert
+
+    idx = build_index(docs_df, num_segments=3)
+    versions = docs_df.select(
+        F.col("url").alias("key"),
+        F.unix_timestamp("warc_ts").cast("long").alias("version"))
+    stale_key, fresh_key = corpus[0][0], corpus[1][0]
+    cur = {r["key"]: r["version"] for r in versions.collect()}
+    batch = [
+        (stale_key, cur[stale_key] - 100, "stale replacement zzzstale"),
+        (fresh_key, cur[fresh_key] + 100, "fresh replacement zzzfresh"),
+        (fresh_key, cur[fresh_key] + 50, "superseded within batch zzzmid"),
+        ("https://brand.new/doc", 1, "brand new doc zzznew"),
+    ]
+    new_df = spark.createDataFrame(
+        batch, "url STRING, version LONG, text STRING")
+    up, new_versions = versioned_upsert(
+        idx, versions, new_df, version_col="version")
+    assert up.collection_stats()[0] == len(corpus) + 1
+    got = {r["key"] for r in S.search_or(up, "zzzstale", k=5).collect()}
+    assert got == set(), "stale update must be rejected"
+    got = {r["key"] for r in S.search_or(up, "zzzfresh", k=5).collect()}
+    assert got == {fresh_key}, "newer update must win"
+    got = {r["key"] for r in S.search_or(up, "zzzmid", k=5).collect()}
+    assert got == set(), "within-batch superseded version must lose"
+    got = {r["key"] for r in S.search_or(up, "zzznew", k=5).collect()}
+    assert got == {"https://brand.new/doc"}
+    vmap = {r["key"]: r["version"] for r in new_versions.collect()}
+    assert vmap[stale_key] == cur[stale_key]
+    assert vmap[fresh_key] == cur[fresh_key] + 100
+    assert vmap["https://brand.new/doc"] == 1

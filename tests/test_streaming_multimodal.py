@@ -160,3 +160,33 @@ def test_execute_boost_scales_scores(spark, pidx):
     assert [k for k, _ in base] == [k for k, _ in boosted]
     for (_, s1), (_, s2) in zip(base, boosted):
         assert s2 == pytest.approx(2 * s1, rel=1e-5)
+
+
+def test_flush_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-flushing the same batch_id (crash
+    between write and checkpoint commit) must not duplicate segments,
+    docids, or segstats rows."""
+    from lucene_solr_old_spark.streaming.incremental import flush_index_batch
+
+    idx_dir = str(tmp_path / "replay_idx")
+    pages = gen_pages(30, seed=11)
+    df = spark.createDataFrame(pages, schema=PAGES_SCHEMA)
+    flush_index_batch(df, batch_id=0, index_path=idx_dir,
+                      segments_per_batch=2)
+    before = open_nrt_reader(spark, idx_dir)
+    n_docs, n_ttf = before.collection_stats()
+    n_post = before.postings.count()
+    # replay the SAME batch (simulated crash-after-write)
+    flush_index_batch(df, batch_id=0, index_path=idx_dir,
+                      segments_per_batch=2)
+    after = open_nrt_reader(spark, idx_dir)
+    assert after.collection_stats() == (n_docs, n_ttf)
+    assert after.postings.count() == n_post
+    assert after.segstats.count() == 2
+    # a different batch still lands as new segments
+    df2 = spark.createDataFrame(gen_pages(10, seed=12), schema=PAGES_SCHEMA)
+    flush_index_batch(df2, batch_id=1, index_path=idx_dir,
+                      segments_per_batch=2)
+    grown = open_nrt_reader(spark, idx_dir)
+    assert grown.collection_stats()[0] == n_docs + 10
+    assert grown.segstats.count() == 4

@@ -90,3 +90,13 @@ def test_doclen_semantics():
     # norm field length = token count AFTER stopping (SURVEY.md §2.4)
     out = analyze("the cat and the hat")
     assert len(out) == 2
+
+
+def test_overlong_token_leaves_position_hole():
+    """StandardTokenizer counts skipped over-long tokens in
+    skippedPositions (position hole), so following tokens shift by one."""
+    from lucene_solr_old_spark.functions.tokenizer import standard_tokenize
+
+    long_tok = "x" * 300
+    toks = list(standard_tokenize(f"alpha {long_tok} beta"))
+    assert [(t.term, t.pos) for t in toks] == [("alpha", 0), ("beta", 2)]
