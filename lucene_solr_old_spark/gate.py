@@ -811,13 +811,130 @@ def _q_common_terms(spark, sf_dir):
         idx, "vector dup", max_df_ratio=0.3, k=20, precision="float64"))
 
 
-@_reg("span_near", None)  # positions-window semantics, float32 kernel:
-# rows-only check (pytest covers semantics in tests/test_spans.py)
+# span fixtures: exact NearSpansOrdered/Unordered + span algebra, oracle =
+# hand-traced VALUES (same derivations as tests/test_phrasepos.py)
+
+_SPAN_DOCS = [
+    ("1", "t1 t2 t1 t3 t2 t3"),   # NearSpansOrdered Javadoc :46-54
+    ("2", "bb xx aa"),
+    ("3", "aa xx bb xx aa"),
+    ("4", "aa bb xx aa bb"),
+    ("5", "aa bb cc aa"),
+]
+
+# (qid, tree, doc, expected sfreq = sum 1/(width+1) over emitted matches)
+_SPAN_CASES = [
+    (1, ("near", [("term", "t1"), ("term", "t2"), ("term", "t3")], 1, True),
+     "1", "0.4"),                  # matches (0,4),(2,6): 0.2 + 0.2
+    (2, ("near", [("term", "aa"), ("term", "bb")], 2, False),
+     "2", "0.25"),                 # unordered window (0,3)
+    (3, ("near", [("term", "aa"), ("term", "bb")], 1, False),
+     "3", "0.5"),                  # (0,3) + (2,5)
+    (4, ("near", [("not", ("term", "aa"), ("term", "xx")),
+                  ("term", "bb")], 0, True),
+     "4", "0.666667"),             # (0,2) + (3,5): 1/3 + 1/3
+    (5, ("first", ("term", "aa"), 2), "5", "0.5"),   # aa@0 only
+    (6, ("or", [("term", "bb"), ("term", "cc")]), "5", "1.0"),  # 0.5+0.5
+]
+
+
+@_reg("span_near", """
+SELECT * FROM (VALUES """ + ",".join(
+    f"({q}::INT, {d}::BIGINT, {sf}::DOUBLE)"
+    for q, _t, d, sf in _SPAN_CASES) + """)
+AS t(qid, doc_id, sfreq) ORDER BY qid""")
 def _q_span_near(spark, sf_dir):
+    from .operators.spans import span_score_frame
+
+    idx = _fixture_index(spark, _SPAN_DOCS, "spans")
+    outs = []
+    for qid, tree, doc, _exp in _SPAN_CASES:
+        frame = span_score_frame(idx, tree, precision="float64")
+        out = (frame.join(idx.docmeta.select("seg", "docid", "key"),
+                          ["seg", "docid"])
+               .where(F.col("key") == doc)
+               .select(F.lit(qid).cast("int").alias("qid"),
+                       F.col("key").cast("long").alias("doc_id"),
+                       F.round(F.col("sfreq"), 6).alias("sfreq")))
+        outs.append(out)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("qid")
+
+
+# corpus-scale span gates: SpanFirst and SpanOr ARE SQL-expressible
+# (term spans have width 1, so sfreq = 0.5 * qualifying-position count)
+
+_SPANW = ("((SELECT ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)"
+          "/(df + 0.5::DOUBLE)) FROM dfreq WHERE term = 'spark')"
+          " * 2.2::DOUBLE)")
+
+
+@_reg("span_first", f"""WITH {_PRELUDE},
+m AS (
+  SELECT doc_id, count(*) * 0.5::DOUBLE AS sfreq
+  FROM tok WHERE term = 'spark' AND pos <= 2
+  GROUP BY doc_id
+)
+SELECT m.doc_id, round(m.sfreq, 6) AS sfreq,
+       round(({_SPANW} * m.sfreq)
+             / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) AS score
+FROM m JOIN dl ON dl.doc_id = m.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+ORDER BY ({_SPANW} * m.sfreq)
+         / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})) DESC, m.doc_id
+LIMIT 20""")
+def _q_span_first(spark, sf_dir):
+    from .operators.spans import span_score_frame
+
     idx = doc_index(spark, sf_dir)
-    return span_near(idx, "spark join", slop=3, in_order=True, k=20).select(
-        F.col("key").cast("long").alias("doc_id"),
-        F.round(F.col("score").cast("double"), 3).alias("score"))
+    frame = span_score_frame(idx, ("first", ("term", "spark"), 3),
+                             precision="float64")
+    out = (frame.join(idx.docmeta.select("seg", "docid", "key"),
+                      ["seg", "docid"])
+           .select(F.col("key").cast("long").alias("doc_id"),
+                   F.round("sfreq", 6).alias("sfreq"),
+                   F.round("score", 4).alias("score"),
+                   F.col("score").alias("_s"))
+           .orderBy(F.desc("_s"), F.asc("doc_id")).limit(20)
+           .drop("_s"))
+    return out
+
+
+_SPANW2 = ("((SELECT ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)"
+           "/(df + 0.5::DOUBLE)) FROM dfreq WHERE term = 'join')"
+           " + (SELECT ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)"
+           "/(df + 0.5::DOUBLE)) FROM dfreq WHERE term = 'spark'))"
+           " * 2.2::DOUBLE")
+
+
+@_reg("span_or", f"""WITH {_PRELUDE},
+m AS (
+  SELECT doc_id, SUM(freq) * 0.5::DOUBLE AS sfreq
+  FROM tf WHERE term IN ('spark','join')
+  GROUP BY doc_id
+)
+SELECT m.doc_id, round(m.sfreq, 6) AS sfreq,
+       round(({_SPANW2} * m.sfreq)
+             / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) AS score
+FROM m JOIN dl ON dl.doc_id = m.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+ORDER BY ({_SPANW2} * m.sfreq)
+         / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})) DESC, m.doc_id
+LIMIT 20""")
+def _q_span_or(spark, sf_dir):
+    from .operators.spans import span_score_frame
+
+    idx = doc_index(spark, sf_dir)
+    tree = ("or", [("term", "spark"), ("term", "join")])
+    frame = span_score_frame(idx, tree, precision="float64")
+    return (frame.join(idx.docmeta.select("seg", "docid", "key"),
+                       ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.round("sfreq", 6).alias("sfreq"),
+                    F.round("score", 4).alias("score"),
+                    F.col("score").alias("_s"))
+            .orderBy(F.desc("_s"), F.asc("doc_id")).limit(20)
+            .drop("_s"))
 
 
 # ---- batch query execution --------------------------------------------------
@@ -876,35 +993,68 @@ def _q_highlight(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@_reg("phrase_sloppy", f"""WITH {_PRELUDE},
-anchors AS (
-  -- slot-0 anchors vs slot-1 positions shifted by -1; dist = min |p1' - p0|
-  SELECT a.doc_id, a.pos AS apos, min(abs((b.pos - 1) - a.pos)) AS dist
-  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
-  WHERE a.term = 'batch' AND b.term = 'stream'
-  GROUP BY a.doc_id, a.pos
-),
-pf AS (
-  SELECT doc_id, SUM(1.0::DOUBLE / (dist + 1)) AS pfreq
-  FROM anchors WHERE dist <= 2 GROUP BY doc_id
-),
-w AS (
-  SELECT ((SELECT ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)/(df + 0.5::DOUBLE))
-           FROM dfreq WHERE term = 'batch')
-        + (SELECT ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)/(df + 0.5::DOUBLE))
-           FROM dfreq WHERE term = 'stream')) * 2.2::DOUBLE AS wv
-)
-SELECT pf.doc_id,
-       round(((SELECT wv FROM w) * pf.pfreq)
-             / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) AS score
-FROM pf JOIN dl ON dl.doc_id = pf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
-ORDER BY ((SELECT wv FROM w) * pf.pfreq)
-         / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})) DESC, pf.doc_id
-LIMIT 20""")
+# The sloppy-phrase / span oracles are HAND-COMPUTED fixtures: the exact
+# SloppyPhraseScorer / NearSpans algorithms (priority-queue walks with
+# documented asymmetries) are not ANSI-SQL-expressible, so the oracle is a
+# VALUES table of expectations derived by hand-tracing the reference
+# algorithm (the same derivations as tests/test_phrasepos.py; cases model
+# the SloppyPhraseScorer Javadoc :82-99 and TestSloppyPhraseQuery).  The
+# engine runs its REAL distributed path (index build -> postings prune ->
+# Arrow kernel) over the fixture docs.
+
+_SLOPPY_DOCS = [
+    ("1", "xx aa bb aa yy"),
+    ("2", "aa bb cc bb aa"),
+    ("3", "aa bb aa bb aa"),
+    ("4", "aa xx bb"),
+    ("5", "aa bb cc bb aa ff gg"),
+]
+
+# (qid, phrase, slop, doc, expected pfreq) — hand-traced
+_SLOPPY_CASES = [
+    (1, "aa bb", 2, "1", "1.333333"),      # exact(1) + reversed dist2 (1/3)
+    (2, "aa bb cc", 4, "2", "1.4"),        # 1 + 0.2 + 0.2
+    (3, "cc bb aa", 4, "2", "1.2"),        # pq-walk asymmetry: 0.2 + 1
+    (4, "aa bb aa", 2, "3", "2.0"),        # repeat groups: two exact
+    (5, "aa bb", 1, "4", "0.5"),           # single dist-1 match
+    (6, "cc bb", 2, "5", "1.0"),           # minimized to the exact match
+    (7, "gg ff", 2, "5", "0.333333"),      # only the dist-2 reversal
+]
+
+
+def _fixture_index(spark, docs, tag: str):
+    cache_key = (id(spark), f"fixture::{tag}")
+    if cache_key not in _INDEX_CACHE:
+        df = spark.createDataFrame(docs, "doc_key STRING, text STRING")
+        _INDEX_CACHE[cache_key] = build_index(
+            df, key_col="doc_key", text_col="text", num_segments=2,
+            analyzer="ws_stop").persist()
+    return _INDEX_CACHE[cache_key]
+
+
+@_reg("phrase_sloppy", """
+SELECT * FROM (VALUES """ + ",".join(
+    f"({q}::INT, {d}::BIGINT, {pf}::DOUBLE)"
+    for q, _p, _s, d, pf in _SLOPPY_CASES) + """)
+AS t(qid, doc_id, pfreq) ORDER BY qid""")
 def _q_phrase_sloppy(spark, sf_dir):
-    idx = doc_index(spark, sf_dir)
-    return _as_docid_score(S.search_phrase(
-        idx, "batch stream", k=20, precision="float64", slop=2))
+    idx = _fixture_index(spark, _SLOPPY_DOCS, "sloppy")
+    outs = []
+    for qid, phrase_text, slop, doc, _exp in _SLOPPY_CASES:
+        terms = phrase_text.split()
+        frame = S.phrase_score_frame(idx, terms, precision="float64",
+                                     slop=slop)
+        out = (frame.join(idx.docmeta.select("seg", "docid", "key"),
+                          ["seg", "docid"])
+               .where(F.col("key") == doc)
+               .select(F.lit(qid).cast("int").alias("qid"),
+                       F.col("key").cast("long").alias("doc_id"),
+                       F.round(F.col("pfreq"), 6).alias("pfreq")))
+        outs.append(out)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("qid")
 
 
 # ---- pivot facets -----------------------------------------------------------

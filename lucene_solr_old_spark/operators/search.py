@@ -59,6 +59,14 @@ def _qterms(index: InvertedIndex, query_text: str) -> list[str]:
     return [t.term for t in get_analyzer(index.analyzer)(query_text)]
 
 
+def _qtokens(index: InvertedIndex, query_text: str):
+    """Analyzed query tokens WITH positions — phrase queries use analyzed
+    positions as term offsets (``QueryParser`` calls ``PhraseQuery.add(term,
+    position)`` with position increments, so stopword holes in the query
+    text widen the phrase — ``PhraseQuery.java:128-135``)."""
+    return get_analyzer(index.analyzer)(query_text)
+
+
 def _cache_array(stats: Bm25Stats) -> Column:
     """256-entry float32 norm-factor cache as a Spark array literal."""
     return F.array(*[F.lit(float(c)).cast("float") for c in stats.cache])
@@ -309,32 +317,53 @@ def search_phrase(index: InvertedIndex, phrase_text: str, k: int = 10,
     """
     if not index.with_positions:
         raise ValueError("index built without positions")
-    terms = _qterms(index, phrase_text)
-    if not terms:
+    tokens = _qtokens(index, phrase_text)
+    if not tokens:
         return index.docmeta.select(
             F.col("key"), F.lit(0.0).cast("float").alias("score")).limit(0)
-    if len(terms) == 1:
+    if len(tokens) == 1:
         return search_terms(index, phrase_text, "OR", k, precision=precision)
-    scored = phrase_score_frame(index, terms, precision, boost, slop)
+    terms = [t.term for t in tokens]
+    offsets = [t.pos - tokens[0].pos for t in tokens]
+    scored = phrase_score_frame(index, terms, precision, boost, slop,
+                                offsets=offsets)
     return _topk(scored, index, k, precision)
 
 
 def phrase_score_frame(index: InvertedIndex, terms: list[str],
                        precision: str = "float32",
-                       boost: float = 1.0, slop: int = 0) -> DataFrame:
-    """(seg, docid, score) for an exact phrase — the unsorted scoring frame
-    (used directly by the boolean plan builder in plans/query.py)."""
+                       boost: float = 1.0, slop: int = 0,
+                       offsets: list[int] | None = None) -> DataFrame:
+    """(seg, docid, score) for a phrase — the unsorted scoring frame
+    (used directly by the boolean plan builder in plans/query.py).
+
+    ``offsets[i]`` is term i's position within the phrase (analyzed query
+    positions; defaults to 0..n-1).  slop=0 runs the columnar
+    ExactPhraseScorer plan; slop>0 runs the EXACT SloppyPhraseScorer kernel
+    (``search/SloppyPhraseScorer.java`` phraseFreq + repeating-term groups,
+    ported in functions/phrasepos.py) over per-doc position arrays.
+    """
     scorer = _Scorer(index, terms, precision, boost)
     # summed idf over the phrase's terms, accumulated in term order
     # (BM25Similarity.idfExplain(TermStatistics[]))
     weight_value = scorer.phrase_weight() * float(boost)
     stype = "double" if precision == "float64" else "float"
+    if offsets is None:
+        offsets = list(range(len(terms)))
 
-    # per position-slot i: docs containing terms[i], positions shifted by -i
-    # (ExactPhraseScorer checks pos_i == base + i; shifting makes the check
-    # a plain multi-set intersection of arrays)
+    # per position-slot i: docs containing terms[i]; for the exact plan the
+    # positions are shifted by -offset so the check becomes a plain
+    # multi-set intersection (ExactPhraseScorer checks pos_i == base + off);
+    # the sloppy kernel takes UNSHIFTED positions (it applies offsets
+    # itself — repeat-collision detection needs absolute token positions)
     frames = []
     for i, t in enumerate(terms):
+        # one-arg lambda: F.transform treats a two-arg lambda as
+        # (element, index); bind the offset via an outer closure
+        pos_col = ((lambda off: F.transform(F.col("p.positions"),
+                                            lambda c: c - F.lit(off)))
+                   (offsets[i])
+                   if slop == 0 else F.col("p.positions"))
         f = (
             index.postings.where(F.col("term") == t)
             .select("seg", F.explode("postings").alias("p"))
@@ -342,8 +371,7 @@ def phrase_score_frame(index: InvertedIndex, terms: list[str],
                 "seg",
                 F.col("p.docid").alias("docid"),
                 F.col("p.norm").alias("norm"),
-                F.transform(F.col("p.positions"),
-                            lambda c: c - F.lit(i)).alias(f"pos"),
+                pos_col.alias("pos"),
             )
             .withColumn("slot", F.lit(i))
         )
@@ -369,25 +397,31 @@ def phrase_score_frame(index: InvertedIndex, terms: list[str],
         ).withColumn("pfreq", F.size("common").cast("double")) \
          .where(F.col("pfreq") > 0)
     else:
-        # sloppy (approximate SloppyPhraseScorer, search/SloppyPhraseScorer
-        # .java 600 LoC): for each anchor a in the first term's shifted
-        # positions, dist(a) = sum_i min_p |p - a| over the other slots;
-        # matches with dist <= slop contribute sloppyFreq = 1/(dist+1)
-        # (BM25Similarity.java:70-72).  Reduces to exact when slop=0.
         inter = per_doc.withColumn(
-            "pfreq", _sloppy_pfreq_udf(slop)(F.col("slots"))
+            "pfreq", _sloppy_pfreq_udf(slop, terms, offsets,
+                                       f32=(precision != "float64"))(
+                F.col("slots"))
         ).where(F.col("pfreq") > 0)
 
     return inter.withColumn(
         "score",
         (F.lit(weight_value).cast(stype) * F.col("pfreq").cast(stype))
         / (F.col("pfreq").cast(stype) + scorer.norm_factor()),
-    ).select("seg", "docid", "score")
+    ).select("seg", "docid", "pfreq", "score")
 
 
-def _sloppy_pfreq_udf(slop: int):
+def _sloppy_pfreq_udf(slop: int, terms: list[str], offsets: list[int],
+                      f32: bool = True):
+    """Arrow-batched wrapper over the exact SloppyPhraseScorer kernel
+    (functions/phrasepos.py).  term_ids group equal terms so the kernel's
+    repeating-term machinery mirrors ``gatherRptGroups``."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    from ..functions.phrasepos import sloppy_phrase_freq
+
+    first = {t: terms.index(t) for t in set(terms)}
+    term_ids = [first[t] for t in terms]
 
     @pandas_udf("double")
     def pfreq(slots_series):  # pd.Series -> pd.Series (hints omitted: the
@@ -395,23 +429,9 @@ def _sloppy_pfreq_udf(slop: int):
         # pandas_udf's signature inference)
         out = []
         for slots in slots_series:
-            arrays = [np.asarray(s["pos"], dtype=np.int64) for s in slots]
-            first, rest = arrays[0], arrays[1:]
-            total = 0.0
-            for a in first:
-                dist = 0
-                ok = True
-                for arr in rest:
-                    if arr.size == 0:
-                        ok = False
-                        break
-                    dist += int(np.abs(arr - a).min())
-                    if dist > slop:
-                        ok = False
-                        break
-                if ok:
-                    total += 1.0 / (dist + 1)
-            out.append(total)
+            pos_lists = [s["pos"] for s in slots]  # slot-ordered
+            out.append(sloppy_phrase_freq(pos_lists, offsets, slop,
+                                          term_ids=term_ids, f32=f32))
         return pd.Series(out)
 
     return pfreq

@@ -1,11 +1,18 @@
-"""Span queries + CommonTermsQuery.
+"""Span queries (full algebra) + CommonTermsQuery.
 
-  * span_near — ``search/spans/SpanNearQuery`` (ordered/unordered proximity
-    over position lists, ``NearSpansOrdered.java``): a document matches when
-    all clause terms occur within a window of span length
-    <= (#terms + slop); span freq = number of such (greedy, non-overlapping
-    anchored) matches.  Simplified from the reference's full span algebra:
-    single-term clauses only, freq = anchored-window count.
+  * span_query — general span-tree execution: term / near(ordered,
+    unordered) / or / not / first nodes, evaluated per doc by the EXACT
+    per-doc kernels ported from the reference
+    (``search/spans/NearSpansOrdered.java:202-354``,
+    ``NearSpansUnordered.java:163-211``, ``SpanOrQuery.java``,
+    ``SpanNotQuery.java``, ``SpanFirstQuery.java`` — see
+    functions/phrasepos.py).  Scoring = ``SpanScorer.setFreqCurrentDoc``:
+    freq = sum of 1/(matchWidth+1) over emitted matches, BM25 with the
+    summed-idf weight over the tree's distinct terms
+    (``spans/SpanWeight.java:55-63`` builds termStats from
+    ``query.extractTerms`` — a Set).
+  * span_near — SpanNearQuery over single-term clauses (the common case),
+    expressed through span_query.
   * common_terms_query — ``lucene/queries/.../CommonTermsQuery.java``: the
     query's terms are split at a document-frequency threshold; low-df terms
     drive matching (disjunction), high-df (stopword-like) terms only add
@@ -22,102 +29,157 @@ from ..functions.tokenizer import get_analyzer
 from .indexer import InvertedIndex
 from .search import _Scorer, _topk, term_score_frame
 
-__all__ = ["span_near", "common_terms_query", "multi_phrase"]
+__all__ = ["span_near", "span_query", "span_score_frame",
+           "common_terms_query", "multi_phrase"]
 
 
-def _span_freq_udf(n_terms: int, slop: int, in_order: bool):
+def _tree_terms(node) -> list[str]:
+    """All leaf terms of a span tree, in-order (duplicates preserved)."""
+    kind = node[0]
+    if kind == "term":
+        return [node[1]]
+    if kind == "near":
+        return [t for c in node[1] for t in _tree_terms(c)]
+    if kind == "or":
+        return [t for c in node[1] for t in _tree_terms(c)]
+    if kind == "not":
+        # extractTerms of SpanNotQuery includes ONLY the include side
+        # (exclusion terms don't contribute to the weight,
+        # ``SpanNotQuery.java extractTerms``) — but the exclude side's
+        # postings are still needed for evaluation
+        return _tree_terms(node[1])
+    if kind == "first":
+        return _tree_terms(node[1])
+    raise ValueError(f"unknown span node {node[0]!r}")
+
+
+def _eval_terms(node) -> list[str]:
+    """All terms needed to EVALUATE the tree (includes 'not' excludes)."""
+    if node[0] == "not":
+        return _eval_terms(node[1]) + _eval_terms(node[2])
+    if node[0] == "term":
+        return [node[1]]
+    if node[0] == "first":
+        return _eval_terms(node[1])
+    return [t for c in node[1] for t in _eval_terms(c)]
+
+
+def _required_terms(node) -> set[str]:
+    """Terms that MUST occur for the tree to match (candidate pruning:
+    the conjunctive leapfrog Lucene gets from sub-span iteration)."""
+    kind = node[0]
+    if kind == "term":
+        return {node[1]}
+    if kind == "near":
+        return set().union(*[_required_terms(c) for c in node[1]])
+    if kind == "or":
+        return set()  # any one suffices
+    if kind == "not":
+        return _required_terms(node[1])
+    if kind == "first":
+        return _required_terms(node[1])
+    raise ValueError(f"unknown span node {node[0]!r}")
+
+
+def _span_tree_udf(tree, f32: bool = True):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    max_span = n_terms + slop  # window length budget
+    from ..functions.phrasepos import eval_span_tree, span_freq
 
     @pandas_udf("double")
-    def freq(slots_series):
+    def sfreq(termpos_series):
         out = []
-        for slots in slots_series:
-            arrays = [np.asarray(s["pos"], dtype=np.int64) for s in slots]
-            count = 0
-            for a in arrays[0]:
-                # greedily place each subsequent term as close as possible
-                lo = a
-                hi = a
-                prev = a
-                ok = True
-                for arr in arrays[1:]:
-                    if in_order:
-                        nxt = arr[arr > prev]
-                        if nxt.size == 0:
-                            ok = False
-                            break
-                        p = int(nxt.min())
-                    else:
-                        if arr.size == 0:
-                            ok = False
-                            break
-                        p = int(arr[np.abs(arr - a).argmin()])
-                        if p == a:
-                            others = arr[arr != a]
-                            if others.size == 0:
-                                ok = False
-                                break
-                            p = int(others[np.abs(others - a).argmin()])
-                    lo = min(lo, p)
-                    hi = max(hi, p)
-                    prev = p
-                    if hi - lo + 1 > max_span:
-                        ok = False
-                        break
-                if ok:
-                    count += 1
-            out.append(float(count))
+        for rows in termpos_series:
+            iv = {r["term"]: [(int(p), int(p) + 1) for p in r["pos"]]
+                  for r in rows}
+            out.append(span_freq(eval_span_tree(tree, iv), f32=f32))
         return pd.Series(out)
 
-    return freq
+    return sfreq
+
+
+def span_query(index: InvertedIndex, tree, k: int = 10,
+               precision: str = "float32") -> DataFrame:
+    """Execute a span-query tree; top-k (key, score).
+
+    tree = ("term", t) | ("near", [children], slop, in_order)
+         | ("or", [children]) | ("not", include, exclude)
+         | ("first", child, n)      (terms must be pre-analyzed)
+    """
+    scored = span_score_frame(index, tree, precision)
+    return _topk(scored.select("seg", "docid", "score"), index, k, precision)
+
+
+def span_score_frame(index: InvertedIndex, tree,
+                     precision: str = "float32") -> DataFrame:
+    """(seg, docid, sfreq, score) for a span-query tree — the unsorted
+    scoring frame.
+
+    Plan: postings pruned to the tree's leaf terms (parquet pushdown on
+    term) -> explode -> per-doc (term, positions) collection -> Arrow
+    kernel evaluates the tree -> BM25 -> TakeOrderedAndProject. Candidate
+    docs are pre-filtered to those containing every REQUIRED term (the
+    same conjunctive pruning Lucene's sub-span leapfrog does).
+    """
+    if not index.with_positions:
+        raise ValueError("index built without positions")
+    eval_terms = sorted(set(_eval_terms(tree)))
+    weight_terms = sorted(set(_tree_terms(tree)))
+    required = sorted(_required_terms(tree))
+    scorer = _Scorer(index, weight_terms, precision)
+    # SpanWeight: idf summed over extractTerms' distinct terms
+    if precision == "float64":
+        from .search import idf64
+        w = 0.0
+        for t in weight_terms:
+            w += idf64(scorer.tstats.get(t, (0, 0))[0], scorer.stats.max_doc)
+        weight_value = w * 2.2
+    else:
+        acc = np.float32(0.0)
+        for t in weight_terms:
+            acc = acc + scorer.stats.idf(scorer.tstats.get(t, (0, 0))[0])
+        weight_value = float(acc * (scorer.stats.k1 + np.float32(1.0)))
+    stype = "double" if precision == "float64" else "float"
+
+    rows = (index.postings.where(F.col("term").isin(eval_terms))
+            .select("seg", "term", F.explode("postings").alias("p"))
+            .select("seg", "term",
+                    F.col("p.docid").alias("docid"),
+                    F.col("p.norm").alias("norm"),
+                    F.col("p.positions").alias("pos")))
+    req_set = set(required)
+    per_doc = rows.groupBy("seg", "docid").agg(
+        F.first("norm").alias("norm"),
+        F.sum(F.when(F.col("term").isin(list(req_set)), 1).otherwise(0))
+        .alias("nreq"),
+        F.collect_list(F.struct("term", "pos")).alias("termpos"),
+    )
+    if req_set:
+        per_doc = per_doc.where(F.col("nreq") == len(req_set))
+    return (per_doc
+            .withColumn("sfreq", _span_tree_udf(
+                tree, f32=(precision != "float64"))(F.col("termpos")))
+            .where(F.col("sfreq") > 0)
+            .withColumn(
+                "score",
+                (F.lit(weight_value).cast(stype)
+                 * F.col("sfreq").cast(stype))
+                / (F.col("sfreq").cast(stype) + scorer.norm_factor()))
+            .select("seg", "docid", "sfreq", "score"))
 
 
 def span_near(index: InvertedIndex, query_text: str, slop: int = 2,
-              in_order: bool = True, k: int = 10) -> DataFrame:
-    """Top-k (key, score) where score = BM25 on the span frequency with the
-    summed-idf phrase weight (spans score through the Similarity like
-    phrases)."""
-    if not index.with_positions:
-        raise ValueError("index built without positions")
+              in_order: bool = True, k: int = 10,
+              precision: str = "float32") -> DataFrame:
+    """SpanNearQuery over the analyzed terms of ``query_text`` — exact
+    NearSpansOrdered / NearSpansUnordered semantics via span_query."""
     terms = [t.term for t in get_analyzer(index.analyzer)(query_text)]
     if len(terms) < 2:
         from .search import search_terms
-        return search_terms(index, query_text, "OR", k)
-    scorer = _Scorer(index, terms)
-    weight_value = scorer.phrase_weight()
-
-    frames = []
-    for i, t in enumerate(terms):
-        f = (index.postings.where(F.col("term") == t)
-             .select("seg", F.explode("postings").alias("p"))
-             .select("seg", F.col("p.docid").alias("docid"),
-                     F.col("p.norm").alias("norm"),
-                     F.col("p.positions").alias("pos"))
-             .withColumn("slot", F.lit(i)))
-        frames.append(f)
-    union = frames[0]
-    for f in frames[1:]:
-        union = union.unionByName(f)
-    per_doc = union.groupBy("seg", "docid").agg(
-        F.count("*").alias("nslots"),
-        F.first("norm").alias("norm"),
-        F.array_sort(F.collect_list(F.struct("slot", "pos"))).alias("slots"),
-    ).where(F.col("nslots") == len(terms))
-    scored = (per_doc
-              .withColumn("sfreq",
-                          _span_freq_udf(len(terms), slop, in_order)(
-                              F.col("slots")))
-              .where(F.col("sfreq") > 0)
-              .withColumn(
-                  "score",
-                  (F.lit(weight_value).cast("float")
-                   * F.col("sfreq").cast("float"))
-                  / (F.col("sfreq").cast("float") + scorer.norm_factor()))
-              .select("seg", "docid", "score"))
-    return _topk(scored, index, k)
+        return search_terms(index, query_text, "OR", k, precision=precision)
+    tree = ("near", [("term", t) for t in terms], slop, in_order)
+    return span_query(index, tree, k, precision)
 
 
 def common_terms_query(index: InvertedIndex, query_text: str,

@@ -96,7 +96,9 @@ def _clause_frame(index: InvertedIndex, clause, clause_id: int,
     if not terms:
         return None
     if isinstance(clause, PhraseClause) and len(terms) > 1:
-        frame = S.phrase_score_frame(index, terms, precision, clause.boost)
+        frame = S.phrase_score_frame(index, terms, precision,
+                                     clause.boost).select(
+            "seg", "docid", "score")
     else:
         scored, _ = S.term_score_frame(index, terms, boost=clause.boost,
                                        precision=precision)

@@ -90,3 +90,51 @@ def test_highlight_analyzed(spark):
     assert "b" not in out
     assert "<em>Running</em>" in out["a"]     # stem match, original casing
     assert out["c"].startswith("<em>run</em>")  # first match wins the fragment
+
+
+def test_span_query_algebra(idx):
+    """span_query trees: or / not / first compose with near."""
+    from lucene_solr_old_spark.operators.spans import span_query
+
+    # or(beta, gamma) near alpha, ordered slop 0
+    tree = ("near", [("term", "alpha"),
+                     ("or", [("term", "beta"), ("term", "gamma")])], 0, True)
+    got = keys(span_query(idx, tree, k=10))
+    assert got == {"d1", "d4", "d5", "d6"}
+
+    # first(alpha, 1): alpha at position 0 only
+    got = keys(span_query(idx, ("first", ("term", "alpha"), 1), k=10))
+    assert got == {"d1", "d3", "d4", "d6"}
+
+    # not: alpha spans not adjacent-overlapping xx... alpha never overlaps
+    # another term's span, so use not(near(alpha,gamma), beta-span) style:
+    # docs where an alpha..gamma ordered window (slop 1) exists that does
+    # NOT overlap a beta occurrence
+    inner = ("near", [("term", "alpha"), ("term", "gamma")], 1, True)
+    got = keys(span_query(idx, ("not", inner, ("term", "beta")), k=10))
+    # d1's window (0,3) overlaps beta@1 -> excluded; d4 (0,2), d5 (1,3) stay
+    assert got == {"d4", "d5"}
+
+
+def test_span_near_exact_scores(idx):
+    """span scores = BM25(sum of 1/(width+1)) with summed-idf weight."""
+    import numpy as np
+
+    from lucene_solr_old_spark.functions.bm25 import Bm25Stats
+    from lucene_solr_old_spark.functions.smallfloat import doclen_to_norm
+
+    got = {r["key"]: float(r["score"])
+           for r in span_near(idx, "alpha gamma", slop=1, in_order=True,
+                              k=10).collect()}
+    max_doc, sum_ttf = idx.collection_stats()
+    stats = Bm25Stats(max_doc, sum_ttf)
+    # df(alpha)=6, df(gamma)=5; weight over sorted distinct terms
+    w = np.float32(0.0)
+    for dfv in (6, 5):  # alpha, gamma sorted
+        w = w + stats.idf(dfv)
+    w = float(w * (stats.k1 + np.float32(1.0)))
+    # d4 "alpha gamma": one match width 2 -> sfreq = 1/3
+    sfreq = np.float32(1.0) / np.float32(3.0)
+    cache = stats.cache[int(doclen_to_norm(2))]
+    exp = float((np.float32(w) * sfreq) / (sfreq + np.float32(cache)))
+    assert got["d4"] == pytest.approx(exp, rel=1e-6)
