@@ -132,10 +132,36 @@ def ws_stop_analyze(text: str) -> list[Token]:
     return out
 
 
+def english_folded_analyze(text: str) -> list[Token]:
+    """EnglishAnalyzer chain with ASCIIFoldingFilter inserted before the
+    stop filter (the common Solr text_en + asciifolding ordering):
+    StandardTokenizer -> possessive -> lowercase -> fold -> stop -> Porter.
+    """
+    from .filters import fold_text  # local: filters imports Token from here
+
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = fold_text(_POSSESSIVE_RE.sub("", term).lower())
+        if t in ENGLISH_STOP_WORDS:
+            continue
+        out.append(Token(porter_stem(t), pos, start, end))
+    return out
+
+
 ANALYZERS = {
     "english": analyze,
     "ws_stop": ws_stop_analyze,
+    "english_folded": english_folded_analyze,
 }
+
+
+def register_analyzer(name: str, fn) -> None:
+    """Extension point: register a custom chain (a callable text ->
+    list[Token]).  The function OBJECT is captured into the build closure
+    (operators/analysis.py) and cloudpickled to executors, so chains
+    composed from functions/filters.py (synonyms, shingles, word-delimiter,
+    edge n-grams) work distributed without any registry on the workers."""
+    ANALYZERS[name] = fn
 
 
 def get_analyzer(name: str):

@@ -1022,14 +1022,18 @@ _SLOPPY_CASES = [
 ]
 
 
-def _fixture_index(spark, docs, tag: str):
+def _fixture_index_analyzer(spark, docs, tag: str, analyzer: str):
     cache_key = (id(spark), f"fixture::{tag}")
     if cache_key not in _INDEX_CACHE:
         df = spark.createDataFrame(docs, "doc_key STRING, text STRING")
         _INDEX_CACHE[cache_key] = build_index(
             df, key_col="doc_key", text_col="text", num_segments=2,
-            analyzer="ws_stop").persist()
+            analyzer=analyzer).persist()
     return _INDEX_CACHE[cache_key]
+
+
+def _fixture_index(spark, docs, tag: str):
+    return _fixture_index_analyzer(spark, docs, tag, "ws_stop")
 
 
 @_reg("phrase_sloppy", """
@@ -1055,6 +1059,160 @@ def _q_phrase_sloppy(spark, sf_dir):
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("qid")
+
+
+# ---- analysis filter pack (SURVEY §2.2 #16) ----------------------------------
+# Custom chains are registered as analyzer callables; the function objects
+# ship to executors inside the build closure (functions/tokenizer.py
+# register_analyzer), so these gates exercise the DISTRIBUTED build path
+# with filtered token streams.
+
+import re as _re  # noqa: E402
+
+from .functions.filters import (SynonymMap, edge_ngrams, shingle,  # noqa: E402
+                                synonym_filter, word_delimiter)
+from .functions.tokenizer import (Token, register_analyzer,  # noqa: E402
+                                  ws_stop_analyze)
+
+_GATE_SYN = SynonymMap().add("spark", "sparksyn")
+register_analyzer(
+    "ws_syn_gate",
+    lambda text: synonym_filter(ws_stop_analyze(text), _GATE_SYN))
+register_analyzer(
+    "ws_shingle_gate", lambda text: shingle(ws_stop_analyze(text)))
+register_analyzer(
+    "ws_edge_gate",
+    lambda text: edge_ngrams(ws_stop_analyze(text), min_gram=2, max_gram=4))
+
+_RAW_WS = _re.compile(r"\S+")
+
+
+def _ws_wdf_analyze(text: str) -> list[Token]:
+    """raw whitespace tokens (case preserved) -> WordDelimiterFilter
+    (default index flags) -> lowercase."""
+    raw = [Token(m.group(0), i, m.start(), m.end())
+           for i, m in enumerate(_RAW_WS.finditer(text))]
+    return [Token(t.term.lower(), t.pos, t.start, t.end)
+            for t in word_delimiter(raw)]
+
+
+register_analyzer("ws_wdf_gate", _ws_wdf_analyze)
+
+
+def _filtered_index(spark, sf_dir: str, analyzer: str) -> InvertedIndex:
+    cache_key = (id(spark), f"{sf_dir}::{analyzer}")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            "text")
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer=analyzer).persist()
+    return _INDEX_CACHE[cache_key]
+
+
+# index-time synonym injection changes tf/df/doclen/avgdl; the oracle
+# rebuilds the whole scoring prelude over the EXPANDED token stream
+@_reg("synonym_search", f"""WITH {_PRELUDE},
+tok2 AS (SELECT doc_id, term, pos FROM tok
+         UNION ALL
+         SELECT doc_id, 'sparksyn' AS term, pos FROM tok
+         WHERE term = 'spark'),
+tf2 AS (SELECT doc_id, term, count(*) AS freq FROM tok2
+        GROUP BY doc_id, term),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+dl2 AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+        FROM documents d LEFT JOIN tok2 t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id),
+cs2 AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+               (SELECT count(*) FROM tok2) AS sum_ttf),
+scored2 AS (
+  SELECT tf2.doc_id,
+         ((ln(1 + ((SELECT max_doc FROM cs2) - df2.df + 0.5::DOUBLE)
+               /(df2.df + 0.5::DOUBLE)) * 2.2::DOUBLE) * tf2.freq)
+         / (tf2.freq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)
+            /((SELECT sum_ttf FROM cs2) / (SELECT max_doc FROM cs2)))) AS s
+  FROM tf2 JOIN df2 USING(term)
+  JOIN dl2 ON dl2.doc_id = tf2.doc_id
+  JOIN lqt ON lqt.doclen = dl2.doclen
+  WHERE tf2.term = 'sparksyn'
+)
+SELECT doc_id, round(s, 4) AS score FROM scored2
+ORDER BY s DESC, doc_id LIMIT 20""")
+def _q_synonym(spark, sf_dir):
+    idx = _filtered_index(spark, sf_dir, "ws_syn_gate")
+    return _as_docid_score(
+        S.search_or(idx, "sparksyn", k=20, precision="float64"))
+
+
+@_reg("shingle_terms", f"""WITH {_PRELUDE},
+bounds AS (SELECT doc_id, min(pos) AS mn, max(pos) AS mx
+           FROM tok GROUP BY doc_id),
+posline AS (SELECT doc_id, unnest(range(mn, mx)) AS p FROM bounds),
+sh AS (
+  SELECT pl.doc_id,
+         coalesce(a.term, '_') || ' ' || coalesce(b.term, '_') AS term
+  FROM posline pl
+  LEFT JOIN tok a ON a.doc_id = pl.doc_id AND a.pos = pl.p
+  LEFT JOIN tok b ON b.doc_id = pl.doc_id AND b.pos = pl.p + 1
+  WHERE a.term IS NOT NULL OR b.term IS NOT NULL
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM sh GROUP BY term ORDER BY df DESC, term LIMIT 20""")
+def _q_shingle(spark, sf_dir):
+    # ShingleFilter with position-hole fillers; gate lists the top bigram
+    # shingles by df (terms-component over the shingle index)
+    idx = _filtered_index(spark, sf_dir, "ws_shingle_gate")
+    return (idx.postings.where(F.col("term").contains(" "))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("ttf").cast("long").alias("ttf"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(20))
+
+
+@_reg("edge_ngram_suggest", f"""WITH {_PRELUDE},
+grams AS (
+  SELECT doc_id, substr(term, 1, 2) AS term FROM tok WHERE length(term) >= 2
+  UNION ALL
+  SELECT doc_id, substr(term, 1, 3) FROM tok WHERE length(term) >= 3
+  UNION ALL
+  SELECT doc_id, substr(term, 1, 4) FROM tok WHERE length(term) >= 4
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM grams GROUP BY term ORDER BY df DESC, term LIMIT 20""")
+def _q_edge_ngram(spark, sf_dir):
+    idx = _filtered_index(spark, sf_dir, "ws_edge_gate")
+    return (idx.postings.groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("ttf").cast("long").alias("ttf"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(20))
+
+
+# WordDelimiter needs case/digit/punct transitions the synthetic corpus
+# lacks — fixture docs, hand-computed VALUES oracle (cases straight from
+# WordDelimiterFilter's Javadoc examples)
+_WDF_DOCS = [
+    ("1", "Wi-Fi router setup"),
+    ("2", "PowerShot SD500 camera"),
+    ("3", "O'Neil's wi-fi guide"),
+    ("4", "plain router text"),
+]
+
+
+@_reg("word_delimiter_search", """
+SELECT * FROM (VALUES
+  ('500'::VARCHAR, 1::BIGINT, 1::BIGINT),
+  ('fi', 2, 2), ('neil', 1, 1), ('power', 1, 1),
+  ('sd', 1, 1), ('wi', 2, 2))
+AS t(term, df, ttf) ORDER BY term""")
+def _q_wdf(spark, sf_dir):
+    idx = _fixture_index_analyzer(spark, _WDF_DOCS, "wdf", "ws_wdf_gate")
+    wanted = ["wi", "fi", "sd", "500", "power", "neil"]
+    return (idx.postings.where(F.col("term").isin(wanted))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("ttf").cast("long").alias("ttf"))
+            .orderBy("term"))
 
 
 # ---- pivot facets -----------------------------------------------------------

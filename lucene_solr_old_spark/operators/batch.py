@@ -30,14 +30,16 @@ def batch_search(index: InvertedIndex, queries: list[tuple],
     Returns (qid, rank, key, score) — top-k per query, one Spark job.
     """
     analyzer = get_analyzer(index.analyzer)
-    qterms: list[tuple] = []      # (qid, term)
-    qmeta: dict = {}              # qid -> (n_terms, is_and)
+    qterms: list[tuple] = []      # (qid, term, clause multiplicity)
+    qmeta: dict = {}              # qid -> (n_clauses, is_and)
     all_terms: set[str] = set()
     for qid, text, mode in queries:
-        terms = sorted({t.term for t in analyzer(text)})
+        terms = [t.term for t in analyzer(text)]
+        # repeated terms = repeated CLAUSES: score once per clause, count
+        # clauses for AND (same semantics as search_terms)
         qmeta[qid] = (len(terms), mode.upper() == "AND")
-        for t in terms:
-            qterms.append((qid, t))
+        for t in sorted(set(terms)):
+            qterms.append((qid, t, terms.count(t)))
             all_terms.add(t)
     if not qterms:
         return index.docmeta.sparkSession.createDataFrame(
@@ -48,8 +50,8 @@ def batch_search(index: InvertedIndex, queries: list[tuple],
     weights = scorer._weights
     spark = index.postings.sparkSession
     qdf = spark.createDataFrame(
-        [(qid, t, float(weights[t])) for qid, t in qterms],
-        "qid INT, term STRING, weight DOUBLE")
+        [(qid, t, float(weights[t]), m) for qid, t, m in qterms],
+        "qid INT, term STRING, weight DOUBLE, mult INT")
     and_qids = [qid for qid, (_n, is_and) in qmeta.items() if is_and]
     nterms_map = F.create_map(*[
         x for qid, (n, _a) in qmeta.items()
@@ -65,10 +67,11 @@ def batch_search(index: InvertedIndex, queries: list[tuple],
     freq = F.col("freq").cast(stype)
     scored = joined.withColumn(
         "tscore",
-        (F.col("weight").cast(stype) * freq) / (freq + scorer.norm_factor()))
+        ((F.col("weight").cast(stype) * freq) / (freq + scorer.norm_factor()))
+        * F.col("mult").cast(stype))
     agg = scored.groupBy("qid", "seg", "docid").agg(
         F.sum("tscore").alias("score"),
-        F.count_distinct("term").alias("nmatched"))
+        F.sum("mult").alias("nmatched"))
     if and_qids:
         agg = agg.where(~F.col("qid").isin(and_qids)
                         | (F.col("nmatched") == nterms_map[F.col("qid")]))

@@ -51,15 +51,20 @@ def _block_arrays(blocks) -> dict:
     }
 
 
-def _block_ub(meta, weight: np.float32, cache: np.ndarray) -> np.ndarray:
+def _block_ub(meta, weight: np.float32, cache: np.ndarray,
+              mult: int = 1) -> np.ndarray:
     mtf = meta["max_tf"].astype(np.float32)
-    return (weight * (mtf / (mtf + cache[meta["max_norm"]]))) * _SAFETY
+    ub = (weight * (mtf / (mtf + cache[meta["max_norm"]]))) * _SAFETY
+    return ub * np.float32(mult) if mult != 1 else ub
 
 
-def _decode_scores(blk, weight, cache):
+def _decode_scores(blk, weight, cache, mult: int = 1):
+    # repeated clause: the f32 partial is doubled AFTER rounding (s + s),
+    # matching BooleanQuery's per-clause sum of identical TermScorer values
     d, f, nb = decode_block(blk)
     f32 = f.astype(np.float32)
-    return d, (weight * f32) / (f32 + cache[nb])
+    s = (weight * f32) / (f32 + cache[nb])
+    return d, (s * np.float32(mult) if mult != 1 else s)
 
 
 def _topk_threshold(scores: np.ndarray, k: int) -> np.float32:
@@ -87,14 +92,16 @@ def _merge_acc(acc_d, acc_s, new_d, new_s, admit_new: bool):
     return acc_d, acc_s
 
 
-def _disjunctive_kernel(term_rows, weights, cache, k):
+def _disjunctive_kernel(term_rows, weights, cache, k, mults=None):
     """term_rows: [(term, blocks)]; returns (docids, scores) top-k pool."""
     metas = []
     for term, blocks in term_rows:
         m = _block_arrays(blocks)
         m["term"] = term
         m["w"] = weights[term]
-        m["ub"] = float(_block_ub(m, m["w"], cache).max()) if blocks else 0.0
+        m["mult"] = 1 if mults is None else mults.get(term, 1)
+        m["ub"] = (float(_block_ub(m, m["w"], cache, m["mult"]).max())
+                   if blocks else 0.0)
         metas.append(m)
     metas.sort(key=lambda m: -m["ub"])
     tail_ub = np.cumsum([m["ub"] for m in metas][::-1])[::-1]  # incl. self
@@ -105,7 +112,7 @@ def _disjunctive_kernel(term_rows, weights, cache, k):
     for ti, m in enumerate(metas):
         rem_after = np.float32(tail_ub[ti + 1] if ti + 1 < len(metas) else 0.0)
         admit_new = (np.float32(m["ub"]) + rem_after) >= theta
-        bubs = _block_ub(m, m["w"], cache)
+        bubs = _block_ub(m, m["w"], cache, m["mult"])
         for bi, blk in enumerate(m["blocks"]):
             # skip: block can neither admit a new top-k doc nor touch an acc doc
             touches_acc = False
@@ -115,7 +122,7 @@ def _disjunctive_kernel(term_rows, weights, cache, k):
             if not touches_acc and (
                     not admit_new or (bubs[bi] + rem_after) < theta):
                 continue
-            d, s = _decode_scores(blk, m["w"], cache)
+            d, s = _decode_scores(blk, m["w"], cache, m["mult"])
             acc_d, acc_s = _merge_acc(
                 acc_d, acc_s, d, s,
                 admit_new and (bubs[bi] + rem_after) >= theta)
@@ -128,7 +135,7 @@ def _disjunctive_kernel(term_rows, weights, cache, k):
     return acc_d, acc_s
 
 
-def _conjunctive_kernel(term_rows, weights, cache, k):
+def _conjunctive_kernel(term_rows, weights, cache, k, mults=None):
     """Leapfrog: intersect docid sets in df-ascending (cost) order, then sum
     scores over the survivors."""
     # decode lazily: smallest list first
@@ -137,6 +144,7 @@ def _conjunctive_kernel(term_rows, weights, cache, k):
         m = _block_arrays(blocks)
         m["term"] = term
         m["w"] = weights[term]
+        m["mult"] = 1 if mults is None else mults.get(term, 1)
         m["ndocs"] = int(sum(b["count"] for b in blocks))
         metas.append(m)
     metas.sort(key=lambda m: m["ndocs"])
@@ -166,13 +174,14 @@ def _conjunctive_kernel(term_rows, weights, cache, k):
             if d.size == 0:
                 return np.zeros(0, np.int64), np.zeros(0, np.float32)
         cand = d
-        decoded.append((m["w"], d, f, nb))
+        decoded.append((m["w"], m["mult"], d, f, nb))
 
     scores = np.zeros(cand.size, dtype=np.float32)
-    for w, d, f, nb in decoded:
+    for w, mult, d, f, nb in decoded:
         keep = np.isin(d, cand, assume_unique=True)
         f32 = f[keep].astype(np.float32)
-        scores += (w * f32) / (f32 + cache[nb[keep]])
+        part = (w * f32) / (f32 + cache[nb[keep]])
+        scores += part * np.float32(mult) if mult != 1 else part
     return cand, scores
 
 
@@ -186,6 +195,7 @@ def wand_search(index: InvertedIndex, query_text: str, k: int = 10,
     if not terms:
         return index.docmeta.select(
             "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    mults = {t: terms.count(t) for t in set(terms)}  # clause multiplicity
     terms = sorted(set(terms))
     max_doc, sum_ttf = index.collection_stats()
     stats = Bm25Stats(max_doc, sum_ttf)
@@ -203,9 +213,9 @@ def wand_search(index: InvertedIndex, query_text: str, k: int = 10,
         if conj:
             if len(term_rows) < n_terms:  # some term absent in this segment
                 return pd.DataFrame({"seg": [], "docid": [], "score": []})
-            d, s = _conjunctive_kernel(term_rows, weights, cache, k)
+            d, s = _conjunctive_kernel(term_rows, weights, cache, k, mults)
         else:
-            d, s = _disjunctive_kernel(term_rows, weights, cache, k)
+            d, s = _disjunctive_kernel(term_rows, weights, cache, k, mults)
         if d.size > k:
             # per-segment top-k (ties -> lower docid): sort by (-score, docid)
             order = np.lexsort((d, -s))[:k]

@@ -71,18 +71,21 @@ def make_query_set(dfreq: Counter) -> list[str]:
 
 
 def oracle_topk(query, docs, doclen, dfreq, stats, k=K):
-    terms = set(analyze_terms(query))
+    # repeated query terms = repeated clauses: the f32 partial is counted
+    # once per clause (BooleanQuery clause list)
+    tlist = analyze_terms(query)
+    mult = {t: tlist.count(t) for t in set(tlist)}
     out = []
     for url, c in docs.items():
         total = 0.0
         matched = False
-        for t in terms:
+        for t, m in mult.items():
             tf = c.get(t, 0)
             if tf:
                 matched = True
                 total += float(stats.score(
                     dfreq[t], np.array([tf]),
-                    np.array([doclen_to_norm(doclen[url])]))[0])
+                    np.array([doclen_to_norm(doclen[url])]))[0]) * m
         if matched:
             out.append((url, np.float32(total)))
     out.sort(key=lambda x: (-x[1], x[0]))
