@@ -517,24 +517,67 @@ def _q_minhash(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_ctes(bits: int) -> str:
+    """CTE chain ending in sim(doc_id, simhash) — bit j of a term's hash =
+    bit (j % 4) of md5 hex nibble (j // 4 + 1), mirroring dedup.simhash;
+    bit 63 packs as the SIGN bit (two's complement)."""
     bit_sums = ",\n".join(
-        f"SUM(CASE WHEN (('0x' || substr(md5(term),1,4))::BIGINT >> {j}) & 1 = 1"
+        f"SUM(CASE WHEN (('0x' || substr(md5(term),{j // 4 + 1},1))::INT"
+        f" >> {j % 4}) & 1 = 1"
         f" THEN freq ELSE -freq END) AS b{j}" for j in range(bits))
     packed = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
-    return f"""WITH {_PRELUDE},
+        f"(CASE WHEN b{j} > 0 THEN "
+        + ("(-9223372036854775807::BIGINT - 1)" if j == 63
+           else f"{2**j}::BIGINT")
+        + " ELSE 0::BIGINT END)"
+        for j in range(bits))
+    return f"""
 rawtf AS (SELECT doc_id, term, count(*) AS freq FROM raw GROUP BY doc_id, term),
-sums AS (SELECT doc_id, {bit_sums} FROM rawtf GROUP BY doc_id)
-SELECT doc_id, ({packed})::BIGINT AS simhash FROM sums ORDER BY doc_id"""
+sums AS (SELECT doc_id, {bit_sums} FROM rawtf GROUP BY doc_id),
+sim AS (SELECT doc_id, ({packed})::BIGINT AS simhash FROM sums)"""
 
 
-@_reg("dedup_simhash", _simhash_sql())
+@_reg("dedup_simhash", f"""WITH {_PRELUDE}, {_simhash_ctes(16)}
+SELECT doc_id, simhash FROM sim ORDER BY doc_id""")
 def _q_simhash(spark, sf_dir):
     toks = D.ws_tokens(_docs(spark, sf_dir))
     return (D.simhash(toks, bits=16)
             .select(F.col("key").alias("doc_id"), "simhash")
             .orderBy("doc_id"))
+
+
+@_reg("dedup_simhash64", f"""WITH {_PRELUDE}, {_simhash_ctes(64)}
+SELECT doc_id, simhash FROM sim ORDER BY doc_id""")
+def _q_simhash64(spark, sf_dir):
+    # full-width production fingerprint incl. the sign-bit packing
+    toks = D.ws_tokens(_docs(spark, sf_dir))
+    return (D.simhash(toks, bits=64)
+            .select(F.col("key").alias("doc_id"), "simhash")
+            .orderBy("doc_id"))
+
+
+@_reg("simhash_bands", f"""WITH {_PRELUDE}, {_simhash_ctes(64)},
+banded AS ({" UNION ALL ".join(
+    "SELECT doc_id, " + str(b) + " AS band, ("
+    + " + ".join(f"(CASE WHEN b{j} > 0 THEN {2**(j - b * 16)}::BIGINT"
+                 " ELSE 0::BIGINT END)"
+                 for j in range(b * 16, b * 16 + 16))
+    + ") AS val FROM sums" for b in range(4))}
+)
+SELECT l.doc_id AS a, r.doc_id AS b, l.band::INT AS band
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+GROUP BY 1, 2, 3
+ORDER BY a, b, band""")
+def _q_simhash_bands(spark, sf_dir):
+    # Hamming-neighbor candidate generation (Manku '07 pigeonhole bands)
+    toks = D.ws_tokens(_docs(spark, sf_dir))
+    sim = D.simhash(toks, bits=64)
+    return (D.simhash_candidate_pairs(sim, bands=4, bits=64)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("band").cast("int").alias("band"))
+            .orderBy("a", "b", "band"))
 
 
 @_reg("ngram_jaccard", f"""WITH {_PRELUDE},
@@ -560,6 +603,80 @@ ORDER BY a, b""")
 def _q_ngram_jaccard(spark, sf_dir):
     toks = D.ws_tokens(_docs(spark, sf_dir))
     return (D.ngram_jaccard_pairs(toks, n=3, threshold=0.2)
+            .orderBy("a", "b"))
+
+
+@_reg("minhash_lsh_pairs", f"""WITH {_PRELUDE},
+dt AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS term
+  FROM raw
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, 2) OVER w IS NOT NULL
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}:' || term)) AS sig_{i}" for i in range(8))}
+  FROM dt GROUP BY doc_id
+),
+banded AS ({" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band,"
+    f" md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS bucket FROM sig"
+    for b in range(4))}
+)
+SELECT l.doc_id AS a, r.doc_id AS b, l.band::INT AS band
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+GROUP BY 1, 2, 3
+ORDER BY a, b, band""")
+def _q_minhash_lsh(spark, sf_dir):
+    # the banded equi-join candidate generation over an 8-perm SHINGLE
+    # sketch — the production LSH path (no all-pairs comparison anywhere;
+    # term-set sketches degenerate on small vocabularies)
+    toks = D.ws_tokens(_docs(spark, sf_dir))
+    sig = D.minhash_signatures(toks, n_hashes=8, shingle_n=3)
+    return (D.lsh_candidate_pairs(sig, rows_per_band=2)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("band").cast("int").alias("band"))
+            .orderBy("a", "b", "band"))
+
+
+@_reg("ngram_jaccard_capped", f"""WITH {_PRELUDE},
+sh AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS shingle
+  FROM raw
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, 2) OVER w IS NOT NULL
+),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 3),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM rare)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh fa ON fa.doc_id = c.a
+  JOIN sh fb ON fb.doc_id = c.b AND fb.shingle = fa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT inter.a, inter.b,
+       round(inter.i / (sa.sz + sb.sz - inter.i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b
+WHERE inter.i / (sa.sz + sb.sz - inter.i) >= 0.2
+ORDER BY a, b""")
+def _q_ngram_jaccard_capped(spark, sf_dir):
+    # the 100 TB path: boilerplate shingles (df > cap) excluded from
+    # candidate generation; Jaccard still exact over full shingle sets
+    toks = D.ws_tokens(_docs(spark, sf_dir))
+    return (D.ngram_jaccard_pairs(toks, n=3, threshold=0.2,
+                                  max_shingle_df=3)
             .orderBy("a", "b"))
 
 
@@ -1213,6 +1330,34 @@ def _q_wdf(spark, sf_dir):
             .agg(F.sum("df").cast("long").alias("df"),
                  F.sum("ttf").cast("long").alias("ttf"))
             .orderBy("term"))
+
+
+# ---- block join (SURVEY §2.5 #62) --------------------------------------------
+
+from .operators.blockjoin import to_parent_join  # noqa: E402
+
+
+@_reg("block_join", f"""WITH {_PRELUDE}, {_scored_cte(["spark"])},
+rel AS (SELECT doc_id, (doc_id // 10)::BIGINT AS parent_key FROM documents),
+agg AS (
+  SELECT r.parent_key, SUM(s.s) AS total, COUNT(*) AS nc
+  FROM scored s JOIN rel r USING(doc_id)
+  GROUP BY r.parent_key
+)
+SELECT parent_key, round(total / nc, 4) AS score, nc::BIGINT AS n_children
+FROM agg ORDER BY total / nc DESC, parent_key LIMIT 20""")
+def _q_block_join(spark, sf_dir):
+    # ToParentBlockJoinQuery ScoreMode.Avg: parents = doc_id//10 groups,
+    # children scored by the child query, parent score = avg(child)
+    idx = doc_index(spark, sf_dir)
+    relation = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("child_key"),
+        F.floor(F.col("doc_id") / 10).cast("long").alias("parent_key"))
+    out = to_parent_join(idx, "spark", relation, score_mode="avg", k=20,
+                         precision="float64")
+    return out.select("parent_key",
+                      F.round("score", 4).alias("score"),
+                      F.col("n_children").cast("long").alias("n_children"))
 
 
 # ---- pivot facets -----------------------------------------------------------

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "ws_tokens", "exact_dedup_groups", "shingles", "minhash_signatures",
-    "lsh_candidate_pairs", "simhash", "ngram_jaccard_pairs",
+    "lsh_candidate_pairs", "simhash", "simhash_candidate_pairs",
+    "ngram_jaccard_pairs",
 ]
 
 
@@ -112,44 +113,113 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFr
             .distinct())
 
 
-def simhash(tokens: DataFrame, bits: int = 16) -> DataFrame:
+def simhash(tokens: DataFrame, bits: int = 64) -> DataFrame:
     """(key, simhash): Charikar sign-random-projection.  Each term's hash
     contributes tf * (+/-1) per bit; bit set iff the weighted sum > 0.
 
-    The term hash is the first 4 hex chars of md5(term) (16 bits), so the
-    whole computation is reproducible in ANSI SQL."""
-    if bits > 16:
-        raise ValueError("bits <= 16 (term hash uses 4 hex chars)")
+    Up to 64 bits (the production standard for web-scale near-dup — 16
+    bits collide constantly at 10^12 docs).  Bit j of a term's hash is bit
+    (j % 4) of md5 hex nibble (j // 4 + 1), so the whole computation stays
+    reproducible in ANSI SQL.  The packed value is a SIGNED 64-bit word
+    (bit 63 = sign, two's complement) so Spark LongType and SQL BIGINT
+    agree bit-for-bit."""
+    if bits > 64:
+        raise ValueError("bits <= 64 (md5 hex nibbles)")
     tf = tokens.groupBy("key", "term").agg(F.count("*").alias("freq"))
-    h = F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
-    tf = tf.withColumn("h", h)
+    tf = tf.withColumn("_md5", F.md5(F.col("term")))
     bit_aggs = []
     for j in range(bits):
-        contrib = F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
+        nib = F.conv(F.substring(F.col("_md5"), j // 4 + 1, 1), 16, 10) \
+            .cast("int")
+        contrib = F.when(F.shiftright(nib, j % 4).bitwiseAND(1) == 1,
                          F.col("freq")).otherwise(-F.col("freq"))
         bit_aggs.append(F.sum(contrib).alias(f"b{j}"))
     sums = tf.groupBy("key").agg(*bit_aggs)
     sh = None
     for j in range(bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        weight = -(2 ** 63) if j == 63 else 2 ** j  # two's complement sign
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(weight)).otherwise(F.lit(0))
         sh = bit if sh is None else sh + bit
     return sums.select("key", sh.cast("long").alias("simhash"))
 
 
+def simhash_candidate_pairs(sim: DataFrame, bands: int = 4,
+                            bits: int = 64) -> DataFrame:
+    """Hamming-neighbor candidate generation over simhash values: split
+    the fingerprint into ``bands`` equal bit-ranges; two docs within
+    Hamming distance < bands share at least one exact band value
+    (pigeonhole) — the standard table-per-band simhash dedup layout
+    (Manku et al. '07).  Returns (a, b, band) candidate pairs; verify
+    with an exact Hamming check downstream."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    parts = []
+    for bi in range(bands):
+        val = F.shiftrightunsigned(F.col("simhash"), bi * width) \
+            .bitwiseAND(F.lit(mask))
+        parts.append(sim.select("key", F.lit(bi).alias("band"),
+                                val.alias("val")))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    left, right = banded.alias("l"), banded.alias("r")
+    return (left.join(right, (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.val") == F.col("r.val"))
+                      & (F.col("l.key") < F.col("r.key")))
+            .select(F.col("l.key").alias("a"), F.col("r.key").alias("b"),
+                    F.col("l.band").alias("band"))
+            .distinct())
+
+
 def ngram_jaccard_pairs(tokens: DataFrame, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """(a, b, jaccard): exact token-n-gram Jaccard over candidate pairs that
     share >= 1 shingle.  Shingles from the ordered token stream (lead
     window); candidate generation is a self-join on shingle — the
-    "bucket-join" stage of the classic near-dup pipeline."""
+    "bucket-join" stage of the classic near-dup pipeline.
+
+    ``max_shingle_df`` is the 100 TB guard: a shingle occurring in more
+    than that many docs (boilerplate headers, navigation chrome) is
+    EXCLUDED from candidate generation — a df-D shingle alone creates
+    O(D^2) candidate pairs, and web boilerplate makes D ~ corpus size.
+    The Jaccard itself is still EXACT over the candidates' FULL shingle
+    sets (a second, candidate-restricted intersection join), so only
+    recall of pairs whose overlap is exclusively boilerplate is traded
+    away.  With the cap the candidate volume is bounded by
+    sum_over_shingles(min(df, cap)^2) instead of sum(df^2)."""
     sh_df = shingles(tokens, n)
     sizes = sh_df.groupBy("key").agg(F.count("*").alias("sz"))
-    a = sh_df.alias("a")
-    b = sh_df.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.key") < F.col("b.key")))
-             .groupBy(F.col("a.key").alias("a"), F.col("b.key").alias("b"))
-             .agg(F.count("*").alias("inter")))
+    if max_shingle_df is None:
+        cand_sh = sh_df
+        a = cand_sh.alias("a")
+        b = cand_sh.alias("b")
+        inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                        & (F.col("a.key") < F.col("b.key")))
+                 .groupBy(F.col("a.key").alias("a"),
+                          F.col("b.key").alias("b"))
+                 .agg(F.count("*").alias("inter")))
+    else:
+        rare = (sh_df.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .where(F.col("df") <= max_shingle_df)
+                .select("shingle"))
+        cand_sh = sh_df.join(rare, "shingle", "left_semi")
+        a = cand_sh.alias("a")
+        b = cand_sh.alias("b")
+        cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                       & (F.col("a.key") < F.col("b.key")))
+                .select(F.col("a.key").alias("a"), F.col("b.key").alias("b"))
+                .distinct())
+        # exact intersection over FULL shingle sets, candidates only
+        fa = sh_df.select(F.col("key").alias("a"),
+                          F.col("shingle").alias("sha"))
+        fb = sh_df.select(F.col("key").alias("_bkey"),
+                          F.col("shingle").alias("shb"))
+        inter = (cand.join(fa, "a")
+                 .join(fb, (F.col("b") == F.col("_bkey"))
+                       & (F.col("sha") == F.col("shb")))
+                 .groupBy("a", "b").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("key").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("key").alias("b"), F.col("sz").alias("szb"))
     return (inter.join(sa, "a").join(sb, "b")
