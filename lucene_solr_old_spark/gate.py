@@ -811,10 +811,11 @@ def _q_parser(spark, sf_dir):
         idx, "+spark join -vector", k=20, precision="float64"))
 
 
-@_reg("wand_topk", None)  # float32 kernel path: rows-only check (the
-# float64 relational twin `term_query`/`bool_or` carries the value oracle;
-# kernel-vs-relational equality is pytest-verified in tests/test_wand.py)
+@_reg("wand_topk", _topk_sql(["spark", "join", "merge"]))
 def _q_wand(spark, sf_dir):
+    # block-max kernel in float64 oracle precision: the gate hash-compares
+    # SCORES (not a rows-only check); the float32 rank-identity twin is
+    # pytest-verified in tests/test_wand.py / test_rank_identity.py
     from .operators.indexer import compress_index
     from .operators.wand import wand_search
 
@@ -822,9 +823,10 @@ def _q_wand(spark, sf_dir):
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = compress_index(doc_index(spark, sf_dir)).persist()
     cidx = _INDEX_CACHE[key]
-    return wand_search(cidx, "spark join merge", k=20).select(
+    return wand_search(cidx, "spark join merge", k=20,
+                       precision="float64").select(
         F.col("key").cast("long").alias("doc_id"),
-        F.round(F.col("score").cast("double"), 3).alias("score"))
+        F.round(F.col("score").cast("double"), 4).alias("score"))
 
 
 @_reg("multimodal_meta", """
@@ -1330,6 +1332,82 @@ def _q_wdf(spark, sf_dir):
             .agg(F.sum("df").cast("long").alias("df"),
                  F.sum("ttf").cast("long").alias("ttf"))
             .orderBy("term"))
+
+
+# ---- alternative similarity: ClassicSimilarity / TF-IDF (SURVEY §2.4 #32) ----
+
+from .functions.smallfloat import byte315_to_float  # noqa: E402
+from .operators.tfidf import search_tfidf  # noqa: E402
+
+
+def _norm315_values() -> str:
+    rows = []
+    for L in range(1, _MAX_DOCLEN + 1):
+        v = float(byte315_to_float(int(doclen_to_norm(L))))
+        rows.append(f"({L},{v!r}::DOUBLE)")
+    return ",".join(rows)
+
+
+_IDF_T = ("(SELECT ln((SELECT max_doc FROM cs)/(df + 1.0::DOUBLE))"
+          " + 1.0::DOUBLE FROM dfreq WHERE term = '{t}')")
+
+
+@_reg("tfidf_topk", f"""WITH {_PRELUDE},
+nt(doclen, nv) AS (VALUES {_norm315_values()}),
+qn AS (SELECT 1.0::DOUBLE / sqrt(
+         {_IDF_T.format(t='spark')} * {_IDF_T.format(t='spark')}
+       + {_IDF_T.format(t='join')} * {_IDF_T.format(t='join')}) AS v),
+ts AS (
+  SELECT tf.doc_id,
+         SUM(sqrt(tf.freq)
+             * ((ln((SELECT max_doc FROM cs)/(dfreq.df + 1.0::DOUBLE))
+                 + 1.0::DOUBLE)
+                * (ln((SELECT max_doc FROM cs)/(dfreq.df + 1.0::DOUBLE))
+                   + 1.0::DOUBLE)
+                * (SELECT v FROM qn))
+             * nt.nv) AS s,
+         count(*) AS nmatched
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN nt ON nt.doclen = dl.doclen
+  WHERE tf.term IN ('join','spark')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s * (nmatched / 2.0::DOUBLE), 4) AS score
+FROM ts ORDER BY s * (nmatched / 2.0::DOUBLE) DESC, doc_id LIMIT 20""")
+def _q_tfidf(spark, sf_dir):
+    # ClassicSimilarity: sqrt-tf, squared idf, queryNorm, coord, byte315
+    # length norm (DefaultSimilarity.java:61-140)
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(
+        search_tfidf(idx, "spark join", k=20, precision="float64"))
+
+
+# ---- query elevation (SURVEY §2.5 #72) ----------------------------------------
+
+from .operators.elevation import elevate_query  # noqa: E402
+
+
+@_reg("elevation", f"""WITH {_PRELUDE}, {_scored_cte(["spark"])},
+cfg(doc_id, erank) AS (VALUES (7::BIGINT, 0), (3::BIGINT, 1)),
+base AS (
+  SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,
+         coalesce(s.s, 0.0::DOUBLE) AS s,
+         c.erank,
+         (c.erank IS NOT NULL) AS elevated
+  FROM scored s FULL JOIN cfg c ON s.doc_id = c.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, elevated
+FROM base WHERE doc_id <> 1
+ORDER BY elevated DESC, erank ASC, s DESC, doc_id LIMIT 20""")
+def _q_elevation(spark, sf_dir):
+    # QueryElevationComponent: docs 7,3 pinned (in that order), doc 1
+    # excluded; organic 'spark' ranking below the pins
+    idx = doc_index(spark, sf_dir)
+    pad = lambda n: str(n).rjust(10, "0")  # noqa: E731
+    out = elevate_query(idx, "spark", [pad(7), pad(3)],
+                        excluded_keys=[pad(1)], k=20, precision="float64")
+    return out.select(F.col("key").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"), "elevated")
 
 
 # ---- block join (SURVEY §2.5 #62) --------------------------------------------

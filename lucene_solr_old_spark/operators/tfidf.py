@@ -1,0 +1,94 @@
+"""ClassicSimilarity (TF-IDF) scoring — the reference's pre-BM25 default.
+
+``search/similarities/DefaultSimilarity.java`` + ``TFIDFSimilarity.java``:
+
+  score(q, d) = coord(q, d) * queryNorm(q)
+                * sum_t [ tf(freq) * idf(t)^2 * boost_t * norm(d) ]
+
+  tf(freq)   = sqrt(freq)                       (:120-122)
+  idf(t)     = ln(maxDoc / (df + 1)) + 1        (:138-140)
+  queryNorm  = 1 / sqrt(sum_t (idf*boost)^2)    (:67-69)
+  coord      = overlap / maxOverlap             (:61-63)
+  norm(d)    = byte315 decode of 1/sqrt(numTerms)  (:87-115; the engine's
+               norm byte already stores floatToByte315(1/sqrt(doclen)),
+               shared with BM25 — same byte, different decode use)
+
+This is the per-field pluggable-similarity surface (``Similarity``
+hierarchy, 34 files): the engine exposes BM25 (default) and TFIDF through
+the same relational plan; only the score expression differs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.smallfloat import byte315_to_float
+from ..functions.tokenizer import get_analyzer
+from .indexer import InvertedIndex
+from .search import _topk
+
+__all__ = ["search_tfidf", "tfidf_score_frame"]
+
+# decoded norm per byte — DefaultSimilarity.NORM_TABLE (:95-97)
+_NORM_TABLE = [float(byte315_to_float(b)) for b in range(256)]
+
+
+def tfidf_score_frame(index: InvertedIndex, terms: list[str],
+                      precision: str = "float32",
+                      boost: float = 1.0) -> DataFrame:
+    """(seg, docid, score, nmatched) per candidate doc (coord applied)."""
+    stype = "double" if precision == "float64" else "float"
+    max_doc, _ = index.collection_stats()
+    tstats = index.term_stats(terms)
+    uniq = sorted(set(terms))
+    mult = {t: terms.count(t) for t in uniq}
+    idf = {t: math.log(max_doc / (tstats.get(t, (0, 0))[0] + 1.0)) + 1.0
+           for t in uniq}
+    # sumOfSquaredWeights over CLAUSES (a repeated term contributes its
+    # squared weight once per clause — BooleanWeight.sumOfSquaredWeights)
+    ssw = sum(mult[t] * (idf[t] * boost) ** 2 for t in uniq)
+    query_norm = 1.0 / math.sqrt(ssw) if ssw > 0 else 0.0
+    max_overlap = len(terms)
+
+    # per-term value = idf^2 * boost * queryNorm * clause multiplicity
+    value = {t: idf[t] * idf[t] * boost * query_norm * mult[t] for t in uniq}
+    vmap = F.create_map(*[x for t, v in value.items()
+                          for x in (F.lit(t), F.lit(v).cast(stype))])
+    norm_arr = F.array(*[F.lit(v).cast(stype) for v in _NORM_TABLE])
+
+    exploded = (index.postings.where(F.col("term").isin(uniq))
+                .select("seg", "term", F.explode("postings").alias("p"))
+                .select("seg", "term",
+                        F.col("p.docid").alias("docid"),
+                        F.col("p.freq").alias("freq"),
+                        F.col("p.norm").alias("norm")))
+    tf = F.sqrt(F.col("freq").cast(stype))
+    decoded = F.element_at(norm_arr, F.col("norm") + 1)
+    scored = exploded.withColumn(
+        "tscore", tf * vmap[F.col("term")] * decoded)
+    agg = scored.groupBy("seg", "docid").agg(
+        F.sum("tscore").alias("_sum"),
+        F.sum(F.create_map(*[x for t, m in mult.items()
+                             for x in (F.lit(t), F.lit(m))])[F.col("term")])
+        .alias("nmatched"))
+    coord = (F.col("nmatched").cast(stype)
+             / F.lit(float(max_overlap)).cast(stype))
+    return agg.select("seg", "docid",
+                      (F.col("_sum") * coord).cast(stype).alias("score"),
+                      "nmatched")
+
+
+def search_tfidf(index: InvertedIndex, query_text: str, k: int = 10,
+                 mode: str = "OR",
+                 precision: str = "float32") -> DataFrame:
+    """Top-k (key, score) under ClassicSimilarity."""
+    terms = [t.term for t in get_analyzer(index.analyzer)(query_text)]
+    if not terms:
+        return index.docmeta.select(
+            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    frame = tfidf_score_frame(index, terms, precision)
+    if mode.upper() == "AND":
+        frame = frame.where(F.col("nmatched") == len(terms))
+    return _topk(frame.select("seg", "docid", "score"), index, k, precision)

@@ -51,26 +51,26 @@ def _block_arrays(blocks) -> dict:
     }
 
 
-def _block_ub(meta, weight: np.float32, cache: np.ndarray,
-              mult: int = 1) -> np.ndarray:
-    mtf = meta["max_tf"].astype(np.float32)
-    ub = (weight * (mtf / (mtf + cache[meta["max_norm"]]))) * _SAFETY
-    return ub * np.float32(mult) if mult != 1 else ub
+def _block_ub(meta, weight, cache: np.ndarray,
+              mult: int = 1, dtype=np.float32) -> np.ndarray:
+    mtf = meta["max_tf"].astype(dtype)
+    ub = (weight * (mtf / (mtf + cache[meta["max_norm"]]))) * dtype(_SAFETY)
+    return ub * dtype(mult) if mult != 1 else ub
 
 
-def _decode_scores(blk, weight, cache, mult: int = 1):
-    # repeated clause: the f32 partial is doubled AFTER rounding (s + s),
+def _decode_scores(blk, weight, cache, mult: int = 1, dtype=np.float32):
+    # repeated clause: the partial is scaled AFTER rounding (s + s),
     # matching BooleanQuery's per-clause sum of identical TermScorer values
     d, f, nb = decode_block(blk)
-    f32 = f.astype(np.float32)
-    s = (weight * f32) / (f32 + cache[nb])
-    return d, (s * np.float32(mult) if mult != 1 else s)
+    fv = f.astype(dtype)
+    s = (weight * fv) / (fv + cache[nb])
+    return d, (s * dtype(mult) if mult != 1 else s)
 
 
-def _topk_threshold(scores: np.ndarray, k: int) -> np.float32:
+def _topk_threshold(scores: np.ndarray, k: int):
     if scores.size < k:
-        return np.float32(-np.inf)
-    return np.float32(np.partition(scores, -k)[-k])
+        return scores.dtype.type(-np.inf)
+    return np.partition(scores, -k)[-k]
 
 
 def _merge_acc(acc_d, acc_s, new_d, new_s, admit_new: bool):
@@ -92,7 +92,8 @@ def _merge_acc(acc_d, acc_s, new_d, new_s, admit_new: bool):
     return acc_d, acc_s
 
 
-def _disjunctive_kernel(term_rows, weights, cache, k, mults=None):
+def _disjunctive_kernel(term_rows, weights, cache, k, mults=None,
+                        dtype=np.float32):
     """term_rows: [(term, blocks)]; returns (docids, scores) top-k pool."""
     metas = []
     for term, blocks in term_rows:
@@ -100,19 +101,19 @@ def _disjunctive_kernel(term_rows, weights, cache, k, mults=None):
         m["term"] = term
         m["w"] = weights[term]
         m["mult"] = 1 if mults is None else mults.get(term, 1)
-        m["ub"] = (float(_block_ub(m, m["w"], cache, m["mult"]).max())
-                   if blocks else 0.0)
+        m["ub"] = (float(_block_ub(m, m["w"], cache, m["mult"],
+                                   dtype).max()) if blocks else 0.0)
         metas.append(m)
     metas.sort(key=lambda m: -m["ub"])
     tail_ub = np.cumsum([m["ub"] for m in metas][::-1])[::-1]  # incl. self
 
     acc_d = np.zeros(0, dtype=np.int64)
-    acc_s = np.zeros(0, dtype=np.float32)
-    theta = np.float32(-np.inf)
+    acc_s = np.zeros(0, dtype=dtype)
+    theta = dtype(-np.inf)
     for ti, m in enumerate(metas):
-        rem_after = np.float32(tail_ub[ti + 1] if ti + 1 < len(metas) else 0.0)
-        admit_new = (np.float32(m["ub"]) + rem_after) >= theta
-        bubs = _block_ub(m, m["w"], cache, m["mult"])
+        rem_after = dtype(tail_ub[ti + 1] if ti + 1 < len(metas) else 0.0)
+        admit_new = (dtype(m["ub"]) + rem_after) >= theta
+        bubs = _block_ub(m, m["w"], cache, m["mult"], dtype)
         for bi, blk in enumerate(m["blocks"]):
             # skip: block can neither admit a new top-k doc nor touch an acc doc
             touches_acc = False
@@ -122,7 +123,7 @@ def _disjunctive_kernel(term_rows, weights, cache, k, mults=None):
             if not touches_acc and (
                     not admit_new or (bubs[bi] + rem_after) < theta):
                 continue
-            d, s = _decode_scores(blk, m["w"], cache, m["mult"])
+            d, s = _decode_scores(blk, m["w"], cache, m["mult"], dtype)
             acc_d, acc_s = _merge_acc(
                 acc_d, acc_s, d, s,
                 admit_new and (bubs[bi] + rem_after) >= theta)
@@ -135,7 +136,8 @@ def _disjunctive_kernel(term_rows, weights, cache, k, mults=None):
     return acc_d, acc_s
 
 
-def _conjunctive_kernel(term_rows, weights, cache, k, mults=None):
+def _conjunctive_kernel(term_rows, weights, cache, k, mults=None,
+                        dtype=np.float32):
     """Leapfrog: intersect docid sets in df-ascending (cost) order, then sum
     scores over the survivors."""
     # decode lazily: smallest list first
@@ -164,7 +166,7 @@ def _conjunctive_kernel(term_rows, weights, cache, k, mults=None):
             d, f, nb = decode_block(blk)
             ds.append(d); fs.append(f); ns.append(nb)
         if not ds:
-            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
         d = np.concatenate(ds)
         f = np.concatenate(fs)
         nb = np.concatenate(ns)
@@ -172,21 +174,21 @@ def _conjunctive_kernel(term_rows, weights, cache, k, mults=None):
             keep = np.isin(d, cand, assume_unique=True)
             d, f, nb = d[keep], f[keep], nb[keep]
             if d.size == 0:
-                return np.zeros(0, np.int64), np.zeros(0, np.float32)
+                return np.zeros(0, np.int64), np.zeros(0, dtype)
         cand = d
         decoded.append((m["w"], m["mult"], d, f, nb))
 
-    scores = np.zeros(cand.size, dtype=np.float32)
+    scores = np.zeros(cand.size, dtype=dtype)
     for w, mult, d, f, nb in decoded:
         keep = np.isin(d, cand, assume_unique=True)
-        f32 = f[keep].astype(np.float32)
-        part = (w * f32) / (f32 + cache[nb[keep]])
-        scores += part * np.float32(mult) if mult != 1 else part
+        fv = f[keep].astype(dtype)
+        part = (w * fv) / (fv + cache[nb[keep]])
+        scores += part * dtype(mult) if mult != 1 else part
     return cand, scores
 
 
 def wand_search(index: InvertedIndex, query_text: str, k: int = 10,
-                mode: str = "OR") -> DataFrame:
+                mode: str = "OR", precision: str = "float32") -> DataFrame:
     """Top-k (key, score) via the block-max kernel. Requires a compressed
     index (indexer.compress_index)."""
     if "blocks" not in index.postings.columns:
@@ -200,9 +202,21 @@ def wand_search(index: InvertedIndex, query_text: str, k: int = 10,
     max_doc, sum_ttf = index.collection_stats()
     stats = Bm25Stats(max_doc, sum_ttf)
     tstats = index.term_stats(terms)
-    weights = {t: stats.weight_value(tstats.get(t, (0, 0))[0])
-               for t in terms}
-    cache = stats.cache
+    if precision == "float64":
+        # oracle-precision twin: same norm quantization, float64 math in
+        # fixed order so ANSI SQL reproduces the kernel's scores (the gate
+        # hash-compares values instead of a rows-only check)
+        from .search import cache64, idf64
+        avgdl = sum_ttf / max_doc if max_doc else 1.0
+        weights = {t: idf64(tstats.get(t, (0, 0))[0], max_doc) * 2.2
+                   for t in terms}
+        cache = np.array(cache64(avgdl), dtype=np.float64)
+        dtype = np.float64
+    else:
+        weights = {t: stats.weight_value(tstats.get(t, (0, 0))[0])
+                   for t in terms}
+        cache = stats.cache
+        dtype = np.float32
     conj = mode.upper() == "AND"
     n_terms = len(terms)
 
@@ -213,9 +227,11 @@ def wand_search(index: InvertedIndex, query_text: str, k: int = 10,
         if conj:
             if len(term_rows) < n_terms:  # some term absent in this segment
                 return pd.DataFrame({"seg": [], "docid": [], "score": []})
-            d, s = _conjunctive_kernel(term_rows, weights, cache, k, mults)
+            d, s = _conjunctive_kernel(term_rows, weights, cache, k,
+                                       mults, dtype)
         else:
-            d, s = _disjunctive_kernel(term_rows, weights, cache, k, mults)
+            d, s = _disjunctive_kernel(term_rows, weights, cache, k,
+                                       mults, dtype)
         if d.size > k:
             # per-segment top-k (ties -> lower docid): sort by (-score, docid)
             order = np.lexsort((d, -s))[:k]
@@ -223,12 +239,13 @@ def wand_search(index: InvertedIndex, query_text: str, k: int = 10,
         return pd.DataFrame({
             "seg": np.full(d.size, seg, dtype=np.int32),
             "docid": d.astype(np.int32),
-            "score": s.astype(np.float32),
+            "score": s.astype(dtype),
         })
 
     matched = index.postings.where(F.col("term").isin(terms))
+    stype = "DOUBLE" if precision == "float64" else "FLOAT"
     per_seg = matched.select("seg", "term", "blocks").groupBy("seg").applyInPandas(
-        kernel, schema="seg INT, docid INT, score FLOAT")
+        kernel, schema=f"seg INT, docid INT, score {stype}")
     out = per_seg.join(index.docmeta.select("seg", "docid", "key"),
                        ["seg", "docid"])
     return (out.select("key", "score")

@@ -1,0 +1,82 @@
+"""ClassicSimilarity (TF-IDF) + query elevation semantics."""
+
+import math
+
+import pytest
+
+from lucene_solr_old_spark.functions.smallfloat import (byte315_to_float,
+                                                        doclen_to_norm)
+from lucene_solr_old_spark.operators.elevation import elevate_query
+from lucene_solr_old_spark.operators.indexer import build_index
+from lucene_solr_old_spark.operators.tfidf import search_tfidf
+
+DOCS = [
+    ("d1", "spark join spark merge"),
+    ("d2", "spark window"),
+    ("d3", "join join join table"),
+    ("d4", "nothing else"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = spark.createDataFrame(DOCS, "url STRING, text STRING")
+    return build_index(df, num_segments=2, analyzer="ws_stop").persist()
+
+
+def _oracle_tfidf(query_terms, docs=DOCS):
+    tok = {u: t.split() for u, t in docs}
+    max_doc = len(docs)
+    dfv = {t: sum(1 for u in tok if t in tok[u]) for t in set(query_terms)}
+    idf = {t: math.log(max_doc / (dfv[t] + 1.0)) + 1.0 for t in dfv}
+    qn = 1.0 / math.sqrt(sum(idf[t] ** 2 for t in query_terms))
+    out = []
+    for u in tok:
+        s, matched = 0.0, 0
+        for t in set(query_terms):
+            freq = tok[u].count(t)
+            if not freq:
+                continue
+            matched += 1
+            nv = float(byte315_to_float(int(doclen_to_norm(len(tok[u])))))
+            s += math.sqrt(freq) * idf[t] * idf[t] * qn * nv
+        if matched:
+            out.append((u, s * matched / len(query_terms)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def test_tfidf_matches_oracle(idx):
+    got = [(r["key"], float(r["score"]))
+           for r in search_tfidf(idx, "spark join", k=10,
+                                 precision="float64").collect()]
+    exp = _oracle_tfidf(["spark", "join"])
+    assert [k for k, _ in got] == [k for k, _ in exp]
+    for (gk, gs), (_ek, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9), gk
+
+
+def test_tfidf_and_mode(idx):
+    got = {r["key"] for r in
+           search_tfidf(idx, "spark join", k=10, mode="AND").collect()}
+    assert got == {"d1"}
+
+
+def test_elevation_pins_and_excludes(idx):
+    out = [(r["key"], r["elevated"])
+           for r in elevate_query(idx, "spark", ["d4", "d2"],
+                                  excluded_keys=["d1"], k=10).collect()]
+    # d4 doesn't match 'spark' but is force-elevated first; d2 second;
+    # remaining organic hits follow; d1 excluded entirely
+    assert out[0] == ("d4", True)
+    assert out[1] == ("d2", True)
+    assert all(not e for _k, e in out[2:])
+    assert "d1" not in {k for k, _ in out}
+
+
+def test_elevation_without_force(idx):
+    out = [r["key"] for r in
+           elevate_query(idx, "spark", ["d4", "d2"], k=10,
+                         force_elevation=False).collect()]
+    assert "d4" not in out  # non-matching pin dropped without force
+    assert out[0] == "d2"
