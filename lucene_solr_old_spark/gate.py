@@ -869,6 +869,51 @@ def _q_suggest(spark, sf_dir):
     return SP.suggest_prefix(idx, "s", k=10)
 
 
+@_reg("freetext_suggest", f"""WITH {_PRELUDE},
+bi AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM raw QUALIFY nxt IS NOT NULL
+),
+uni AS (SELECT term, count(*) AS c FROM raw GROUP BY term),
+tot AS (SELECT count(*)::DOUBLE AS t FROM raw),
+cctx AS (SELECT c::DOUBLE AS c FROM uni WHERE term = 'spark'),
+big AS (SELECT nxt AS word, count(*) AS c_bi FROM bi
+        WHERE term = 'spark' GROUP BY nxt)
+SELECT u.term AS word,
+       round(coalesce(big.c_bi / (SELECT c FROM cctx),
+                      0.4::DOUBLE * u.c / (SELECT t FROM tot)), 6) AS score
+FROM uni u LEFT JOIN big ON big.word = u.term
+ORDER BY coalesce(big.c_bi / (SELECT c FROM cctx),
+                  0.4::DOUBLE * u.c / (SELECT t FROM tot)) DESC, word
+LIMIT 10""")
+def _q_freetext(spark, sf_dir):
+    # FreeTextSuggester: bigram LM with stupid backoff (ALPHA=0.4)
+    toks = D.ws_tokens(_docs(spark, sf_dir))
+    return SP.free_text_suggest(toks, "spark", k=10)
+
+
+@_reg("word_break", f"""WITH {_PRELUDE},
+splits AS (
+  SELECT substr('sparkjoin', 1, i) AS l,
+         substr('sparkjoin', i + 1) AS r
+  FROM (SELECT unnest(range(1, 9)) AS i)
+)
+SELECT splits.l AS "left", splits.r AS "right",
+       dl.df::BIGINT AS freq_left, dr.df::BIGINT AS freq_right
+FROM splits
+JOIN dfreq dl ON dl.term = splits.l
+JOIN dfreq dr ON dr.term = splits.r
+ORDER BY dl.df + dr.df DESC, splits.l LIMIT 10""")
+def _q_word_break(spark, sf_dir):
+    # WordBreakSpellChecker: "sparkjoin" -> dictionary splits
+    idx = doc_index(spark, sf_dir)
+    return (SP.word_break_suggest(idx, "sparkjoin", k=10)
+            .select("left", "right",
+                    F.col("freq_left").cast("long").alias("freq_left"),
+                    F.col("freq_right").cast("long").alias("freq_right")))
+
+
 @_reg("term_range", f"""WITH {_PRELUDE}
 SELECT term, count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf
 FROM tf GROUP BY term
@@ -1155,6 +1200,45 @@ def _fixture_index(spark, docs, tag: str):
     return _fixture_index_analyzer(spark, docs, tag, "ws_stop")
 
 
+# offsets-in-postings highlighting: the corpus text is single-space
+# joined, so ws-token char offsets are SQL-reproducible via a running sum
+# of token lengths
+@_reg("postings_highlight", f"""WITH {_PRELUDE},
+offt AS (
+  SELECT doc_id, term, pos,
+         (SUM(length(term) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) - length(term) - 1)::INT AS s0
+  FROM raw
+),
+m AS (
+  SELECT doc_id, min(s0) AS s0
+  FROM offt WHERE term = 'spark' GROUP BY doc_id
+)
+SELECT m.doc_id,
+       substr(d.text,
+              greatest(0, m.s0 - 20) + 1,
+              least(length(d.text), m.s0 + 5 + 20)
+                - greatest(0, m.s0 - 20)) AS snippet
+FROM m JOIN documents d USING(doc_id) ORDER BY m.doc_id""")
+def _q_postings_highlight(spark, sf_dir):
+    from .operators.highlight import postings_highlight
+
+    cache_key = (id(spark), f"{sf_dir}::offsets")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            "text")
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="ws_stop", with_offsets=True).persist()
+    idx = _INDEX_CACHE[cache_key]
+    docs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"), "text")
+    out = postings_highlight(idx, docs, "spark", frag=20)
+    return (out.select(F.col("key").cast("long").alias("doc_id"), "snippet")
+            .orderBy("doc_id"))
+
+
 @_reg("phrase_sloppy", """
 SELECT * FROM (VALUES """ + ",".join(
     f"({q}::INT, {d}::BIGINT, {pf}::DOUBLE)"
@@ -1334,6 +1418,58 @@ def _q_wdf(spark, sf_dir):
             .orderBy("term"))
 
 
+# ---- versioned upsert (SURVEY §2.9 #89) ---------------------------------------
+
+from .operators.merge import versioned_upsert  # noqa: E402
+
+
+@_reg("versioned_upsert", """
+WITH cur AS (SELECT doc_id, n_chars::BIGINT AS version FROM documents),
+batch(doc_id, version) AS (
+  SELECT 0::BIGINT,
+         (SELECT n_chars FROM documents WHERE doc_id = 0)::BIGINT - 1
+  UNION ALL SELECT 2::BIGINT,
+         (SELECT n_chars FROM documents WHERE doc_id = 2)::BIGINT + 10
+  UNION ALL SELECT 2::BIGINT,
+         (SELECT n_chars FROM documents WHERE doc_id = 2)::BIGINT + 5
+  UNION ALL SELECT 9999999991::BIGINT, 7::BIGINT
+),
+best AS (SELECT doc_id, max(version) AS version FROM batch GROUP BY doc_id),
+winners AS (
+  SELECT b.doc_id, b.version
+  FROM best b LEFT JOIN cur c USING(doc_id)
+  WHERE c.version IS NULL OR b.version > c.version
+)
+SELECT doc_id, version FROM (
+  SELECT * FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM winners)
+  UNION ALL SELECT * FROM winners
+) ORDER BY doc_id""")
+def _q_versioned_upsert(spark, sf_dir):
+    # versionAdd over a two-batch stream: doc 0 stale (rejected), doc 2
+    # updated (highest in-batch version wins), one brand-new doc; the
+    # oracle recomputes the surviving version table
+    idx = doc_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    pad = lambda n: str(n).rjust(10, "0")  # noqa: E731
+    versions = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        F.col("n_chars").cast("long").alias("version"))
+    cur = {r["doc_id"]: r["n_chars"]
+           for r in docs.where(F.col("doc_id").isin([0, 2])).collect()}
+    batch = spark.createDataFrame(
+        [(pad(0), cur[0] - 1, "stale replacement"),
+         (pad(2), cur[2] + 10, "fresh replacement"),
+         (pad(2), cur[2] + 5, "superseded in batch"),
+         (pad(9999999991), 7, "brand new doc")],
+        "doc_key STRING, version LONG, text STRING")
+    _new_idx, new_versions = versioned_upsert(
+        idx, versions, batch, key_col="doc_key", text_col="text",
+        version_col="version")
+    return (new_versions
+            .select(F.col("key").cast("long").alias("doc_id"), "version")
+            .orderBy("doc_id"))
+
+
 # ---- alternative similarity: ClassicSimilarity / TF-IDF (SURVEY §2.4 #32) ----
 
 from .functions.smallfloat import byte315_to_float  # noqa: E402
@@ -1458,6 +1594,58 @@ def _q_facet_pivot(spark, sf_dir):
     hits = matching_docs(idx, ["spark"])
     return (facet_pivot(hits, docs_dim, ["lang", "bucket"])
             .select("lang", "bucket", F.col("cnt").cast("long").alias("cnt")))
+
+
+# ---- taxonomy facets / drill-down (SURVEY §2.5 #66) ---------------------------
+
+from .operators.facets import drill_down, taxonomy_counts  # noqa: E402
+
+
+def _paths_df(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        F.concat_ws("/", F.col("lang"),
+                    (F.floor(F.col("n_chars") / 100) * 100).cast("string"))
+        .alias("path"))
+
+
+@_reg("taxonomy_facets", f"""WITH {_PRELUDE},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+p AS (SELECT d.doc_id, d.lang AS l1,
+             d.lang || '/' || (d.n_chars // 100 * 100)::VARCHAR AS l2
+      FROM m JOIN documents d USING(doc_id)),
+counts AS (
+  SELECT l1 AS path, 1 AS depth, count(*)::BIGINT AS cnt FROM p GROUP BY l1
+  UNION ALL
+  SELECT l2 AS path, 2 AS depth, count(*)::BIGINT AS cnt FROM p GROUP BY l2
+)
+SELECT path, depth, cnt FROM counts ORDER BY path""")
+def _q_taxonomy(spark, sf_dir):
+    # FastTaxonomyFacetCounts rollup: each hit counts under every ancestor
+    # of its category path (lang/bucket two-level taxonomy)
+    idx = doc_index(spark, sf_dir)
+    hits = matching_docs(idx, ["spark"])
+    return (taxonomy_counts(hits, _paths_df(spark, sf_dir))
+            .select("path", F.col("depth").cast("int").alias("depth"),
+                    F.col("cnt").cast("long").alias("cnt"))
+            .orderBy("path"))
+
+
+@_reg("drill_down", f"""WITH {_PRELUDE},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+p AS (SELECT d.doc_id,
+             d.lang || '/' || (d.n_chars // 100 * 100)::VARCHAR AS path
+      FROM m JOIN documents d USING(doc_id)
+      WHERE d.lang = 'en')
+SELECT path AS child, count(*)::BIGINT AS cnt
+FROM p GROUP BY path ORDER BY child""")
+def _q_drill_down(spark, sf_dir):
+    # DrillDownQuery('en') + immediate-child counts beneath the prefix
+    idx = doc_index(spark, sf_dir)
+    hits = matching_docs(idx, ["spark"])
+    return (drill_down(hits, _paths_df(spark, sf_dir), "en")
+            .select("child", F.col("cnt").cast("long").alias("cnt"))
+            .orderBy("child"))
 
 
 # ---- drill-sideways ----------------------------------------------------------

@@ -30,13 +30,19 @@ TERMDOC_SCHEMA = (
     "term STRING, freq INT, positions ARRAY<INT>"
 )
 
+# IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS: per-occurrence
+# char offsets ride along in the postings (what PostingsHighlighter reads
+# instead of re-analyzing — ``postingshighlight/PostingsHighlighter.java``)
+TERMDOC_SCHEMA_OFFSETS = TERMDOC_SCHEMA + ", starts ARRAY<INT>, ends ARRAY<INT>"
+
 EXTRACT_SCHEMA_SUFFIX = ", text STRING"
 
 
 def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
                            with_positions: bool = True,
                            analyzer: str = "english",
-                           html_input: bool = False):
+                           html_input: bool = False,
+                           with_offsets: bool = False):
     """Returns a mapInPandas function assigning segment-local docIDs.
 
     Input partitions MUST be sorted by ``key_col`` (the caller does
@@ -60,6 +66,7 @@ def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
             texts = pdf[text_col].to_numpy()
             out_seg, out_docid, out_key = [], [], []
             out_dl, out_norm, out_term, out_freq, out_pos = [], [], [], [], []
+            out_starts, out_ends = [], []
             for i in range(n):
                 docid = next_docid
                 next_docid += 1
@@ -78,16 +85,18 @@ def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
                     out_key.append(keys[i]); out_dl.append(0)
                     out_norm.append(norm); out_term.append(None)
                     out_freq.append(0); out_pos.append([] if with_positions else None)
+                    if with_offsets:
+                        out_starts.append([]); out_ends.append([])
                     continue
-                if with_positions:
-                    per_term: dict[str, list[int]] = {}
+                if with_positions or with_offsets:
+                    per_term: dict[str, list] = {}
                     for t in toks:
-                        per_term.setdefault(t.term, []).append(t.pos)
-                    items = ((term, len(ps), ps) for term, ps in per_term.items())
+                        per_term.setdefault(t.term, []).append(t)
+                    items = ((term, len(ts), ts) for term, ts in per_term.items())
                 else:
                     counts = Counter(t.term for t in toks)
                     items = ((term, c, None) for term, c in counts.items())
-                for term, freq, ps in items:
+                for term, freq, ts in items:
                     out_seg.append(segs[i])
                     out_docid.append(docid)
                     out_key.append(keys[i])
@@ -95,8 +104,13 @@ def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
                     out_norm.append(norm)
                     out_term.append(term)
                     out_freq.append(freq)
-                    out_pos.append(ps)
-            yield pd.DataFrame({
+                    out_pos.append([t.pos for t in ts]
+                                   if (with_positions and ts is not None)
+                                   else (None if not with_positions else []))
+                    if with_offsets:
+                        out_starts.append([t.start for t in ts])
+                        out_ends.append([t.end for t in ts])
+            cols = {
                 "seg": np.asarray(out_seg, dtype=np.int32),
                 "docid": np.asarray(out_docid, dtype=np.int32),
                 "key": out_key,
@@ -105,7 +119,11 @@ def make_analyze_partition(key_col: str, text_col: str, seg_col: str = "seg",
                 "term": out_term,
                 "freq": np.asarray(out_freq, dtype=np.int32),
                 "positions": out_pos,
-            })
+            }
+            if with_offsets:
+                cols["starts"] = out_starts
+                cols["ends"] = out_ends
+            yield pd.DataFrame(cols)
 
     return analyze_partition
 

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .indexer import InvertedIndex
 from .search import term_score_frame
 
-__all__ = ["matching_docs", "facet_field", "facet_range", "facet_queries",
+__all__ = ["taxonomy_counts", "drill_down",
+           "matching_docs", "facet_field", "facet_range", "facet_queries",
            "facet_pivot", "stats_agg", "group_topk"]
 
 
@@ -160,3 +161,48 @@ def drill_sideways(result_docs: DataFrame, dims: DataFrame,
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("dim", "value")
+
+
+def taxonomy_counts(result_docs: DataFrame, paths: DataFrame,
+                    path_col: str = "path", sep: str = "/") -> DataFrame:
+    """Hierarchical (taxonomy) facet counts — ``lucene/facet``'s
+    ``FastTaxonomyFacetCounts``/``TaxoArrays`` re-expressed: every matching
+    doc contributes one count to EACH ancestor of its category path
+    ("a/b/c" counts under a, a/b, a/b/c — the rollup the taxonomy ordinal
+    arrays encode).  Returns (path, depth, cnt).
+
+    Plan: explode the ancestor prefixes of each hit's path (array ops, no
+    UDF) -> one groupBy on the prefix.  At 100 TB the prefix explode
+    multiplies rows by average depth (small constant); the aggregation is
+    map-side combinable.
+    """
+    joined = result_docs.join(paths, "key")
+    parts = F.split(F.col(path_col), sep)
+    prefixes = F.expr(
+        f"transform(sequence(1, size(split({path_col}, '{sep}'))), "
+        f"i -> array_join(slice(split({path_col}, '{sep}'), 1, i), '{sep}'))")
+    exploded = joined.select(F.explode(prefixes).alias("path"))
+    return (exploded
+            .groupBy("path")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("depth",
+                        F.size(F.split(F.col("path"), sep)).cast("int"))
+            .select("path", "depth", "cnt"))
+
+
+def drill_down(result_docs: DataFrame, paths: DataFrame, prefix: str,
+               path_col: str = "path", sep: str = "/") -> DataFrame:
+    """DrillDownQuery + child facet counts (``facet/DrillDownQuery.java``;
+    ``TaxonomyReader.getChildren``): restrict the hit set to docs whose
+    path is under ``prefix``, then count the IMMEDIATE child categories.
+    Returns (child, cnt)."""
+    depth = len(prefix.split(sep))
+    joined = result_docs.join(paths, "key")
+    under = joined.where(
+        (F.col(path_col) == prefix)
+        | F.col(path_col).startswith(prefix + sep))
+    child = F.array_join(
+        F.slice(F.split(F.col(path_col), sep), 1, depth + 1), sep)
+    return (under.where(F.size(F.split(F.col(path_col), sep)) > depth)
+            .select(child.alias("child"))
+            .groupBy("child").agg(F.count("*").alias("cnt")))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.tokenizer import get_analyzer
 
-__all__ = ["highlight_first", "highlight_analyzed"]
+__all__ = ["highlight_first", "highlight_analyzed", "postings_highlight"]
 
 
 def highlight_first(docs: DataFrame, term: str, frag: int = 20,
@@ -72,3 +72,43 @@ def highlight_analyzed(docs: DataFrame, query_text: str,
 
     return docs.select(key_col, text_col).mapInPandas(
         run, schema=f"{key_col} STRING, snippet STRING")
+
+
+def postings_highlight(index, docs: DataFrame, query_text: str,
+                       frag: int = 20, key_col: str = "key",
+                       text_col: str = "text") -> DataFrame:
+    """(key, snippet) WITHOUT re-analysis — the PostingsHighlighter model
+    (``lucene/highlighter/.../postingshighlight/PostingsHighlighter.java``:
+    match offsets come from the postings' stored offsets, so highlighting
+    never re-tokenizes the document).  Requires an index built with
+    ``with_offsets=True``.
+
+    Plan: postings pruned to the query terms -> first-occurrence offset
+    per doc (min over (start, end) structs) -> join the stored field ->
+    Catalyst substring.  The stored text is touched once, only for
+    matching docs."""
+    if not getattr(index, "with_offsets", False):
+        raise ValueError("postings_highlight requires with_offsets=True")
+    qterms = sorted({t.term for t in
+                     get_analyzer(index.analyzer)(query_text)})
+    occ = (index.postings.where(F.col("term").isin(qterms))
+           .select("seg", F.explode("postings").alias("p"))
+           .select("seg",
+                   F.col("p.docid").alias("docid"),
+                   F.element_at("p.starts", 1).alias("s0"),
+                   F.element_at("p.ends", 1).alias("e0")))
+    first = occ.groupBy("seg", "docid").agg(
+        F.min(F.struct("s0", "e0")).alias("m"))
+    with_keys = (first
+                 .join(index.docmeta.select("seg", "docid", "key"),
+                       ["seg", "docid"])
+                 .select(F.col("key").alias(key_col),
+                         F.col("m.s0").alias("s0"),
+                         F.col("m.e0").alias("e0")))
+    joined = with_keys.join(docs.select(F.col(key_col), F.col(text_col)),
+                            key_col)
+    lo = F.greatest(F.lit(0), F.col("s0") - frag)       # 0-based
+    hi = F.least(F.length(text_col), F.col("e0") + frag)
+    return joined.select(
+        F.col(key_col),
+        F.substring(F.col(text_col), lo + 1, hi - lo).alias("snippet"))

@@ -30,7 +30,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .analysis import TERMDOC_SCHEMA, make_analyze_partition
+from .analysis import (TERMDOC_SCHEMA, TERMDOC_SCHEMA_OFFSETS,
+                       make_analyze_partition)
 
 __all__ = ["InvertedIndex", "build_index", "load_index"]
 
@@ -47,6 +48,7 @@ class InvertedIndex:
     segstats: DataFrame
     with_positions: bool = True
     analyzer: str = "english"
+    with_offsets: bool = False
     _stats: tuple | None = field(default=None, repr=False)
 
     def collection_stats(self) -> tuple[int, int]:
@@ -121,10 +123,13 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     )
 
 
-def _posting_struct(with_positions: bool):
+def _posting_struct(with_positions: bool, with_offsets: bool = False):
     cols = [F.col("docid"), F.col("freq"), F.col("norm")]
     if with_positions:
         cols.append(F.col("positions"))
+    if with_offsets:
+        cols.append(F.col("starts"))
+        cols.append(F.col("ends"))
     return F.struct(*cols)
 
 
@@ -138,6 +143,7 @@ def build_index(
     html_col: str | None = None,
     analyzer: str = "english",
     persist_termdoc: bool = True,
+    with_offsets: bool = False,
 ) -> InvertedIndex:
     """Build the inverted index. ``salt_partitions > 0`` enables the
     two-phase salted aggregation for head-term skew.
@@ -170,10 +176,14 @@ def build_index(
         .sortWithinPartitions("key")
         .withColumn("seg", F.spark_partition_id())
     )
+    # with_offsets stores per-occurrence char offsets in the postings
+    # (IndexOptions ..._AND_OFFSETS — the PostingsHighlighter input); note
+    # the merge/delete paths strip offsets (positions-only rebuild).
     termdoc = parted.mapInPandas(
         make_analyze_partition("key", "text", with_positions=with_positions,
-                               analyzer=analyzer, html_input=html_input),
-        schema=TERMDOC_SCHEMA,
+                               analyzer=analyzer, html_input=html_input,
+                               with_offsets=with_offsets),
+        schema=TERMDOC_SCHEMA_OFFSETS if with_offsets else TERMDOC_SCHEMA,
     )
     if persist_termdoc:
         # avoids re-analyzing for the docmeta/segstats actions, at the cost
@@ -203,7 +213,7 @@ def build_index(
     termdoc = (termdoc.where(F.col("term").isNotNull())
                .drop("key", "doclen"))
 
-    pstruct = _posting_struct(with_positions)
+    pstruct = _posting_struct(with_positions, with_offsets)
     if salt_partitions and salt_partitions > 1:
         # phase 1: partial sorted lists per (seg, term, docid % salt)
         partial = (
@@ -238,7 +248,8 @@ def build_index(
         F.count("*").alias("max_doc"),
         F.sum("doclen").alias("sum_ttf"),
     )
-    return InvertedIndex(postings, docmeta, segstats, with_positions, analyzer)
+    return InvertedIndex(postings, docmeta, segstats, with_positions,
+                         analyzer, with_offsets)
 
 
 def compress_index(index: InvertedIndex) -> InvertedIndex:

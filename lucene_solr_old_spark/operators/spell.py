@@ -1,12 +1,26 @@
-"""Spellcheck + suggest over the term dictionary.
+"""Spellcheck + the suggester family over the term dictionary.
 
   * spellcheck — ``DirectSpellChecker`` semantics (``lucene/suggest/.../
     spell/DirectSpellChecker.java``): candidate terms within max_edits
     Levenshtein distance of the input, ranked by (distance asc, docFreq
     desc, term asc); the FuzzyQuery machinery reused as a suggester.
-  * suggest_prefix — ``AnalyzingSuggester``-lite (``suggest/analyzing/
-    AnalyzingSuggester.java``): top-k dictionary terms by weight (ttf)
-    under a prefix.
+  * suggest_prefix — raw-prefix completion: top-k dictionary terms by
+    weight (ttf) under a prefix.
+  * analyzing_suggest — ``suggest/analyzing/AnalyzingSuggester.java``
+    (906 LoC): suggestions are matched on the ANALYZED form of the surface
+    text but return the original surface, ranked by weight.  The FST over
+    analyzed keys becomes a (key, surface, weight) DataFrame with a prefix
+    predicate (parquet min/max-pruned at scale).
+  * fuzzy_suggest — ``suggest/analyzing/FuzzySuggester.java``: like
+    analyzing_suggest but the analyzed prefix tolerates edits
+    (maxEdits<=2, first ``nonFuzzyPrefix`` chars exact, fuzz only for
+    queries >= minFuzzyLength — :60-75 defaults).
+  * free_text_suggest — ``suggest/analyzing/FreeTextSuggester.java``:
+    "Google suggest"-style next-word prediction from an n-gram language
+    model with STUPID BACKOFF smoothing (ALPHA = 0.4, :129-134).
+  * word_break_suggest / word_combine_suggest — ``suggest/spell/
+    WordBreakSpellChecker.java:93-160,162-230``: split a non-dictionary
+    term into dictionary words / combine adjacent query terms.
   * term_range — ``TermRangeQuery`` (``search/TermRangeQuery.java``):
     lexicographic term-dictionary slice.
 
@@ -20,7 +34,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from .indexer import InvertedIndex
 
-__all__ = ["spellcheck", "suggest_prefix", "term_range"]
+__all__ = ["spellcheck", "suggest_prefix", "term_range",
+           "build_suggest_table", "analyzing_suggest", "fuzzy_suggest",
+           "free_text_suggest", "word_break_suggest",
+           "word_combine_suggest"]
 
 
 def _global_terms(index: InvertedIndex) -> DataFrame:
@@ -48,6 +65,154 @@ def suggest_prefix(index: InvertedIndex, prefix: str, k: int = 10) -> DataFrame:
     return (terms.where(F.col("term").startswith(prefix))
             .select("term", F.col("ttf").alias("weight"))
             .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(k))
+
+
+def build_suggest_table(surfaces: DataFrame, surface_col: str = "surface",
+                        weight_col: str = "weight",
+                        analyzer: str = "english") -> DataFrame:
+    """(key, surface, weight): the AnalyzingSuggester build step — analyze
+    each surface, join the analyzed terms with ' ' into the lookup key
+    (the FST input; ``AnalyzingSuggester.build`` :395-460)."""
+    from ..functions.tokenizer import get_analyzer
+
+    analyze_fn = get_analyzer(analyzer)
+
+    def keyize(batches):
+        import pandas as pd
+        for pdf in batches:
+            keys = [" ".join(t.term for t in analyze_fn(s or ""))
+                    for s in pdf[surface_col]]
+            yield pd.DataFrame({"key": keys,
+                                "surface": pdf[surface_col],
+                                "weight": pdf[weight_col]})
+
+    return surfaces.mapInPandas(
+        keyize, schema="key STRING, surface STRING, weight LONG")
+
+
+def _analyzed_key(query: str, analyzer: str) -> str:
+    from ..functions.tokenizer import get_analyzer
+    return " ".join(t.term for t in get_analyzer(analyzer)(query))
+
+
+def analyzing_suggest(table: DataFrame, query: str, k: int = 10,
+                      analyzer: str = "english") -> DataFrame:
+    """(surface, weight): surfaces whose ANALYZED key extends the analyzed
+    query (``AnalyzingSuggester.lookup`` :640-780), by weight desc."""
+    qkey = _analyzed_key(query, analyzer)
+    return (table.where(F.col("key").startswith(qkey))
+            .select("surface", "weight")
+            .orderBy(F.desc("weight"), F.asc("surface"))
+            .limit(k))
+
+
+def fuzzy_suggest(table: DataFrame, query: str, k: int = 10,
+                  analyzer: str = "english", max_edits: int = 1,
+                  non_fuzzy_prefix: int = 1,
+                  min_fuzzy_length: int = 3) -> DataFrame:
+    """FuzzySuggester (:60-75 defaults): the analyzed-prefix match
+    tolerates up to ``max_edits`` Levenshtein edits, with the first
+    ``non_fuzzy_prefix`` chars exact; queries shorter than
+    ``min_fuzzy_length`` match exactly."""
+    qkey = _analyzed_key(query, analyzer)
+    if len(qkey) < min_fuzzy_length:
+        return analyzing_suggest(table, query, k, analyzer)
+    # the Levenshtein automaton consumes a key prefix whose length may
+    # differ from the query's by up to max_edits — take the min distance
+    # over that window of prefix slices
+    dists = [
+        F.levenshtein(F.substring(F.col("key"), 1, max(1, len(qkey) + d)),
+                      F.lit(qkey))
+        for d in range(-max_edits, max_edits + 1)
+    ]
+    cond = (F.least(*dists) <= max_edits)
+    if non_fuzzy_prefix > 0:
+        cond = cond & (F.substring(F.col("key"), 1, non_fuzzy_prefix)
+                       == qkey[:non_fuzzy_prefix])
+    return (table.where(cond)
+            .select("surface", "weight")
+            .orderBy(F.desc("weight"), F.asc("surface"))
+            .limit(k))
+
+
+def free_text_suggest(tokens: DataFrame, context: str, k: int = 10,
+                      alpha: float = 0.4) -> DataFrame:
+    """(word, score): next-word prediction after ``context`` (one word),
+    bigram stupid backoff (``FreeTextSuggester`` ALPHA=0.4 :129-134):
+
+      score(w | c) = count(c w) / count(c)          if the bigram exists
+                   = ALPHA * count(w) / totalTokens otherwise (backoff)
+
+    ``tokens``: (key, term, pos) stream (dedup.ws_tokens shape).  Bigram
+    counts come from one lead-window pass — the same aggregation any
+    n-gram LM build uses at corpus scale (one shuffle on the gram)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("pos")
+    bi = (tokens.withColumn("nxt", F.lead("term", 1).over(w))
+          .where(F.col("nxt").isNotNull()))
+    big_counts = (bi.where(F.col("term") == context)
+                  .groupBy("nxt").agg(F.count("*").alias("c_bi")))
+    uni = tokens.groupBy("term").agg(F.count("*").alias("c_uni"))
+    c_ctx_row = uni.where(F.col("term") == context).collect()
+    c_ctx = int(c_ctx_row[0]["c_uni"]) if c_ctx_row else 0
+    total = tokens.count()
+    backoff = uni.select(
+        F.col("term").alias("word"),
+        (F.lit(float(alpha)) * F.col("c_uni") / F.lit(float(total)))
+        .alias("bscore"))
+    bigram = big_counts.select(
+        F.col("nxt").alias("word"),
+        (F.col("c_bi") / F.lit(float(c_ctx or 1))).alias("gscore"))
+    merged = (backoff.join(bigram, "word", "left")
+              .select("word",
+                      F.round(F.coalesce("gscore", "bscore"), 6)
+                      .alias("score")))
+    return merged.orderBy(F.desc("score"), F.asc("word")).limit(k)
+
+
+def word_break_suggest(index: InvertedIndex, word: str,
+                       min_freq: int = 1, min_break_length: int = 1,
+                       k: int = 10) -> DataFrame:
+    """(left, right, freq_left, freq_right): two-way splits of ``word``
+    where both halves are dictionary terms with df >= min_freq
+    (``WordBreakSpellChecker.generateBreakUpSuggestions`` :258-300, depth
+    1).  Ranked like the reference: by summed frequency desc."""
+    spark = index.postings.sparkSession
+    splits = [(word[:i], word[i:]) for i in
+              range(min_break_length, len(word) - min_break_length + 1)]
+    if not splits:
+        return spark.createDataFrame(
+            [], "left STRING, right STRING, freq_left LONG, freq_right LONG")
+    cand = spark.createDataFrame(splits, "left STRING, right STRING")
+    terms = _global_terms(index).where(F.col("df") >= min_freq)
+    tl = terms.select(F.col("term").alias("left"),
+                      F.col("df").alias("freq_left"))
+    tr = terms.select(F.col("term").alias("right"),
+                      F.col("df").alias("freq_right"))
+    return (cand.join(tl, "left").join(tr, "right")
+            .select("left", "right", "freq_left", "freq_right")
+            .orderBy(F.desc(F.col("freq_left") + F.col("freq_right")),
+                     F.asc("left"))
+            .limit(k))
+
+
+def word_combine_suggest(index: InvertedIndex, words: list[str],
+                         min_freq: int = 1, k: int = 10) -> DataFrame:
+    """(combined, i, freq): adjacent-pair combinations of the query words
+    that exist in the dictionary (``suggestWordCombinations`` :162-230,
+    pair window)."""
+    spark = index.postings.sparkSession
+    pairs = [(words[i] + words[i + 1], i) for i in range(len(words) - 1)]
+    if not pairs:
+        return spark.createDataFrame([], "combined STRING, i INT, freq LONG")
+    cand = spark.createDataFrame(pairs, "combined STRING, i INT")
+    terms = _global_terms(index).where(F.col("df") >= min_freq)
+    return (cand.join(terms.select(F.col("term").alias("combined"),
+                                   F.col("df").alias("freq")), "combined")
+            .select("combined", "i", "freq")
+            .orderBy(F.desc("freq"), F.asc("i"))
             .limit(k))
 
 

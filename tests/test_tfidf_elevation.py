@@ -80,3 +80,54 @@ def test_elevation_without_force(idx):
                          force_elevation=False).collect()]
     assert "d4" not in out  # non-matching pin dropped without force
     assert out[0] == "d2"
+
+
+class TestSuggesters:
+    """AnalyzingSuggester / FuzzySuggester / combine (analyzed-key
+    semantics aren't SQL-expressible: porter stems in the key)."""
+
+    @pytest.fixture(scope="class")
+    def table(self, spark):
+        from lucene_solr_old_spark.operators.spell import build_suggest_table
+
+        surfaces = spark.createDataFrame(
+            [("Running Shoes", 100), ("Runner's World", 80),
+             ("Rain Jacket", 60), ("Ran Fast", 10)],
+            "surface STRING, weight LONG")
+        return build_suggest_table(surfaces, analyzer="english").persist()
+
+    def test_analyzed_key_matching(self, table):
+        from lucene_solr_old_spark.operators.spell import analyzing_suggest
+
+        # "runs" stems to "run" -> matches surfaces whose analyzed key
+        # starts with "run" ("running shoes"->"run shoe",
+        # "runner's world"->"runner world" does NOT start with "run "...
+        got = [r["surface"]
+               for r in analyzing_suggest(table, "runs", k=5).collect()]
+        assert got[0] == "Running Shoes"
+        assert "Rain Jacket" not in got
+
+    def test_fuzzy_tolerates_edit(self, table):
+        from lucene_solr_old_spark.operators.spell import fuzzy_suggest
+
+        # "rin jacket" ~1 edit from "rain jacket" (analyzed)
+        got = [r["surface"]
+               for r in fuzzy_suggest(table, "rin jacket", k=5,
+                                      max_edits=1,
+                                      non_fuzzy_prefix=1).collect()]
+        assert got == ["Rain Jacket"]
+
+    def test_word_combine(self, spark):
+        from lucene_solr_old_spark.operators.indexer import build_index
+        from lucene_solr_old_spark.operators.spell import (
+            word_combine_suggest)
+
+        df = spark.createDataFrame(
+            [("d1", "database systems handbook"),
+             ("d2", "data base admin")],
+            "url STRING, text STRING")
+        idx = build_index(df, num_segments=1, analyzer="ws_stop")
+        got = [(r["combined"], r["i"])
+               for r in word_combine_suggest(
+                   idx, ["data", "base", "admin"], k=5).collect()]
+        assert got == [("database", 0)]
