@@ -14,8 +14,12 @@ Stages:
   * pipeline ops — minhash dedup + cosine top-k timings.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_DOCS (default 20000 synthetic pages).
+     SPARK_GRAFT_CPUS (default 16 — the measured-optimal slot count on
+     this 32-thread box: each Arrow task runs a JVM thread + a Python
+     worker, so local[32] oversubscribes 2x and anti-scales; see
+     BASELINE.md "scaling" notes),
+     SPARK_GRAFT_BENCH_DOCS (default 100000 synthetic pages —
+     large enough that build time dominates the ~2s scheduling floor).
 """
 
 from __future__ import annotations
@@ -39,8 +43,8 @@ from lucene_solr_old_spark.sources.pages import pages_dataframe  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = get_spark("bench", master=f"local[{cpus}]",
@@ -107,6 +111,28 @@ def main() -> None:
     # pages-index query (english chain, bigger corpus)
     timed("q_pages_or",
           lambda: S.search_or(pidx, "running meetings", k=10).collect())
+
+    # block-max WAND kernel latency on the pages index (compressed layout)
+    from lucene_solr_old_spark.operators.indexer import compress_index
+    from lucene_solr_old_spark.operators.wand import wand_search
+
+    def compress():
+        c = compress_index(pidx).persist()
+        c.postings.count()
+        return c
+
+    cidx = timed("compress_pages", compress)
+    timed("q_wand_cold",
+          lambda: wand_search(cidx, "running meetings", k=10).collect())
+    timed("q_wand",
+          lambda: wand_search(cidx, "relational hopeful case", k=10).collect())
+
+    # positional queries: exact sloppy-phrase + ordered span kernels
+    timed("q_sloppy", lambda: S.search_phrase(
+        pidx, "running meetings", k=10, slop=2).collect())
+    from lucene_solr_old_spark.operators.spans import span_near
+    timed("q_span_near", lambda: span_near(
+        pidx, "running meetings", slop=3, in_order=True, k=10).collect())
 
     # batch query throughput: 60 queries in ONE job (operators/batch.py)
     import random as _random
