@@ -1518,6 +1518,32 @@ def _q_tfidf(spark, sf_dir):
         search_tfidf(idx, "spark join", k=20, precision="float64"))
 
 
+@_reg("lm_dirichlet", f"""WITH {_PRELUDE},
+tterm AS (SELECT term, sum(freq) AS ttf FROM tf GROUP BY term),
+scored_lm AS (
+  SELECT tf.doc_id,
+         SUM(greatest(0.0::DOUBLE,
+             ln(1.0::DOUBLE + tf.freq /
+                (2000.0::DOUBLE * ((tterm.ttf + 1.0::DOUBLE)
+                 / ((SELECT sum_ttf FROM cs) + 1.0::DOUBLE))))
+           + ln(2000.0::DOUBLE / (lqt.lq + 2000.0::DOUBLE)))) AS s
+  FROM tf JOIN tterm USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('join','spark')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored_lm
+ORDER BY s DESC, doc_id LIMIT 20""")
+def _q_lm_dirichlet(spark, sf_dir):
+    # LMDirichletSimilarity (mu=2000): language-model scoring over the
+    # same postings/norm data as BM25/TFIDF (pluggable Similarity)
+    from .operators.tfidf import search_lmdirichlet
+
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(
+        search_lmdirichlet(idx, "spark join", k=20, precision="float64"))
+
+
 # ---- query elevation (SURVEY §2.5 #72) ----------------------------------------
 
 from .operators.elevation import elevate_query  # noqa: E402

@@ -29,7 +29,7 @@ from ..functions.tokenizer import get_analyzer
 from .indexer import InvertedIndex
 from .search import _topk
 
-__all__ = ["search_tfidf", "tfidf_score_frame"]
+__all__ = ["search_tfidf", "tfidf_score_frame", "search_lmdirichlet"]
 
 # decoded norm per byte — DefaultSimilarity.NORM_TABLE (:95-97)
 _NORM_TABLE = [float(byte315_to_float(b)) for b in range(256)]
@@ -92,3 +92,56 @@ def search_tfidf(index: InvertedIndex, query_text: str, k: int = 10,
     if mode.upper() == "AND":
         frame = frame.where(F.col("nmatched") == len(terms))
     return _topk(frame.select("seg", "docid", "score"), index, k, precision)
+
+
+def search_lmdirichlet(index: InvertedIndex, query_text: str, k: int = 10,
+                       mu: float = 2000.0,
+                       precision: str = "float32") -> DataFrame:
+    """LM Dirichlet similarity (``search/similarities/
+    LMDirichletSimilarity.java:56-62``):
+
+      score_t(freq, dl) = max(0, ln(1 + freq / (mu * p(t|C)))
+                               + ln(mu / (dl + mu)))
+      p(t|C) = (totalTermFreq + 1) / (numberOfFieldTokens + 1)
+               (``LMSimilarity.DefaultCollectionModel:153-155``)
+
+    dl is the QUANTIZED doc length decoded from the norm byte
+    (``SimilarityBase.decodeNormValue`` = 1/decoded^2 — the engine's LQ64
+    table).  Per-term scores clamp at 0 (the paper's negative-score guard),
+    then sum over matching terms."""
+    from .search import LQ64
+
+    stype = "double" if precision == "float64" else "float"
+    terms = [t.term for t in get_analyzer(index.analyzer)(query_text)]
+    if not terms:
+        return index.docmeta.select(
+            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    uniq = sorted(set(terms))
+    max_doc, sum_ttf = index.collection_stats()
+    tstats = index.term_stats(uniq)
+    p = {t: (tstats.get(t, (0, 0))[1] + 1.0) / (sum_ttf + 1.0)
+         for t in uniq}
+    mult = {t: terms.count(t) for t in uniq}
+    pmap = F.create_map(*[x for t, v in p.items()
+                          for x in (F.lit(t), F.lit(v).cast(stype))])
+    mmap = F.create_map(*[x for t, m in mult.items()
+                          for x in (F.lit(t), F.lit(float(m)).cast(stype))])
+    lq_arr = F.array(*[F.lit(v).cast(stype) for v in LQ64])
+
+    exploded = (index.postings.where(F.col("term").isin(uniq))
+                .select("seg", "term", F.explode("postings").alias("p"))
+                .select("seg", "term",
+                        F.col("p.docid").alias("docid"),
+                        F.col("p.freq").alias("freq"),
+                        F.col("p.norm").alias("norm")))
+    dl = F.element_at(lq_arr, F.col("norm") + 1)
+    raw = (F.log(F.lit(1.0).cast(stype)
+                 + F.col("freq").cast(stype)
+                 / (F.lit(mu).cast(stype) * pmap[F.col("term")]))
+           + F.log(F.lit(mu).cast(stype) / (dl + F.lit(mu).cast(stype))))
+    scored = exploded.withColumn(
+        "tscore",
+        F.greatest(F.lit(0.0).cast(stype), raw.cast(stype))
+        * mmap[F.col("term")])
+    agg = scored.groupBy("seg", "docid").agg(F.sum("tscore").alias("score"))
+    return _topk(agg.select("seg", "docid", "score"), index, k, precision)
