@@ -1418,6 +1418,36 @@ def _q_wdf(spark, sf_dir):
             .orderBy("term"))
 
 
+# ---- percolation / MemoryIndex (SURVEY §2.5 #75) ------------------------------
+
+from .operators.percolate import percolate  # noqa: E402
+
+
+@_reg("percolate", f"""WITH {_PRELUDE},
+dt AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT doc_id, qid FROM (
+  SELECT doc_id, 0 AS qid FROM dt
+  WHERE term IN ('spark','join') GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 1 AS qid FROM dt
+  WHERE term IN ('spark','join') GROUP BY doc_id HAVING count(*) = 2
+  UNION ALL
+  SELECT doc_id, 2 AS qid FROM dt
+  WHERE term = 'vector' GROUP BY doc_id
+) ORDER BY doc_id, qid""")
+def _q_percolate(spark, sf_dir):
+    # MemoryIndex/percolator semantics: stored queries matched against
+    # incoming docs in ONE broadcast-join job, no per-doc index
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"), "text")
+    out = percolate(docs, [(0, "spark join", "OR"), (1, "spark join", "AND"),
+                           (2, "vector", "OR")],
+                    analyzer="ws_stop", key_col="key", text_col="text")
+    return (out.select(F.col("key").cast("long").alias("doc_id"),
+                       F.col("qid").cast("int").alias("qid"))
+            .orderBy("doc_id", "qid"))
+
+
 # ---- versioned upsert (SURVEY §2.9 #89) ---------------------------------------
 
 from .operators.merge import versioned_upsert  # noqa: E402

@@ -144,24 +144,33 @@ def build_index(
     analyzer: str = "english",
     persist_termdoc: bool = True,
     with_offsets: bool = False,
+    fused: bool | None = None,
 ) -> InvertedIndex:
-    """Build the inverted index. ``salt_partitions > 0`` enables the
-    two-phase salted aggregation for head-term skew.
+    """Build the inverted index.
 
-    Plan shape (one shuffle total):
+    Plan shape, DEFAULT (``fused=True``) — ONE shuffle total:
       1. hash-repartition by doc key (deterministic for a fixed
          ``num_segments`` under any input parallelism — the murmur3 doc
          routing analogue) + sortWithinPartitions(key): segment membership
          and segment-local docID (= key rank) are reproducible;
       2. ONE fused Arrow stage per partition: [html->text] -> analyze ->
-         local inversion -> term-doc rows (analysis.py);
-      3. docmeta distilled by a partition-LOCAL dedup (no shuffle — a doc's
-         rows never leave their partition);
-      4. the single build shuffle: groupBy(seg, term) aggregating
-         docID-sorted posting arrays; doc-key/doclen columns are dropped
-         before the exchange so only (seg, docid, term, freq, norm,
-         positions) bytes move.
+         FULL in-memory inversion -> finished docID-sorted posting lists +
+         docmeta sentinel rows (analysis.make_fused_postings_partition).
+         A (seg, term) posting list is complete partition-locally because
+         the whole segment IS the partition, so the term-grouping shuffle
+         of the unfused plan is pure waste — this is the
+         DocumentsWriterPerThread RAM inversion, and it makes build
+         data movement exactly one exchange at any scale.
+
+    ``fused=False`` (or with_offsets=True, which the fused stage doesn't
+    carry yet) falls back to the two-shuffle plan: analyze -> term-doc
+    rows -> groupBy(seg, term) aggregation, with ``salt_partitions > 0``
+    enabling two-phase salted aggregation for head-term skew.  Use it when
+    one segment's postings exceed Python-worker memory (the fused bound;
+    Lucene bounds the same structure with its flush policy).
     """
+    if fused is None:
+        fused = not with_offsets
     if html_col is not None:
         base = docs.select(F.col(key_col).alias("key"),
                            F.col(html_col).alias("text"))
@@ -176,6 +185,36 @@ def build_index(
         .sortWithinPartitions("key")
         .withColumn("seg", F.spark_partition_id())
     )
+
+    if fused and not with_offsets:
+        from .analysis import FUSED_SCHEMA, make_fused_postings_partition
+
+        out = parted.mapInPandas(
+            make_fused_postings_partition(
+                "key", "text", with_positions=with_positions,
+                analyzer=analyzer, html_input=html_input),
+            schema=FUSED_SCHEMA,
+        )
+        if persist_termdoc:
+            out = out.persist()
+        # reassemble struct arrays JVM-side from the parallel primitive
+        # arrays (arrays_zip names struct fields after the aliases)
+        zip_cols = [F.col("docids").alias("docid"),
+                    F.col("freqs").alias("freq"),
+                    F.col("norms").alias("norm")]
+        if with_positions:
+            zip_cols.append(F.col("poss").alias("positions"))
+        postings = out.where(F.col("term").isNotNull()).select(
+            "seg", "term", "df", "ttf",
+            F.arrays_zip(*zip_cols).alias("postings"))
+        docmeta = out.where(F.col("term").isNull()).select(
+            "seg", "docid", "key", "doclen", "norm")
+        segstats = docmeta.groupBy("seg").agg(
+            F.count("*").alias("max_doc"),
+            F.sum("doclen").alias("sum_ttf"),
+        )
+        return InvertedIndex(postings, docmeta, segstats, with_positions,
+                             analyzer, False)
     # with_offsets stores per-occurrence char offsets in the postings
     # (IndexOptions ..._AND_OFFSETS — the PostingsHighlighter input); note
     # the merge/delete paths strip offsets (positions-only rebuild).

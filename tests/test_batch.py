@@ -41,3 +41,22 @@ def test_batch_matches_individual(idx):
 def test_batch_empty_queries(idx):
     out = batch_search(idx, [(0, "", "OR")], k=5)
     assert out.count() == 0
+
+
+def test_percolate_match_sets(spark):
+    """Percolator (MemoryIndex use-case): stored queries vs incoming docs
+    in one broadcast-join job."""
+    from lucene_solr_old_spark.operators.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [("d1", "spark join merge"), ("d2", "spark only here"),
+         ("d3", "join table"), ("d4", "nothing relevant")],
+        "url STRING, text STRING")
+    out = percolate(docs, [(0, "spark join", "OR"),
+                           (1, "spark join", "AND"),
+                           (2, "table", "OR")],
+                    analyzer="ws_stop")
+    got = {(r["key"], r["qid"]) for r in out.collect()}
+    assert got == {("d1", 0), ("d2", 0), ("d3", 0),
+                   ("d1", 1),
+                   ("d3", 2)}

@@ -266,3 +266,35 @@ def test_repeated_term_scores_once_per_clause(index, oracle):
                if oracle.docs[e[0]].get("caress", 0) > 0
                and oracle.docs[e[0]].get("poni", 0) > 0]
     assert [k for k, _ in got_and] == [k for k, _ in exp_and[:10]]
+
+
+def test_fused_build_identical_to_grouped(spark, corpus):
+    """The fused (no-term-shuffle) build must produce EXACTLY the same
+    index content as the groupBy plan, and its postings lineage must
+    contain only the doc-routing exchange."""
+    df = spark.createDataFrame(
+        corpus, schema="url STRING, warc_ts TIMESTAMP, html BINARY, "
+                       "text STRING, lang STRING")
+    fused = build_index(df, num_segments=4, fused=True)
+    grouped = build_index(df, num_segments=4, fused=False)
+
+    def canon(idx):
+        rows = idx.postings.select("seg", "term", "df", "ttf",
+                                   "postings").collect()
+        return sorted(
+            (r["seg"], r["term"], r["df"], r["ttf"],
+             tuple((p["docid"], p["freq"], p["norm"], tuple(p["positions"]))
+                   for p in r["postings"]))
+            for r in rows)
+
+    assert canon(fused) == canon(grouped)
+    assert sorted(map(tuple, fused.docmeta.collect())) == \
+        sorted(map(tuple, grouped.docmeta.collect()))
+    # exactly ONE exchange (doc routing) in the fused postings plan
+    # (uncached build: the persisted variant prints the inner AQE plan
+    # twice, double-counting the same exchange)
+    uncached = build_index(df, num_segments=4, fused=True,
+                           persist_termdoc=False)
+    plan = uncached.postings._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    assert final.count("Exchange") == 1, plan
