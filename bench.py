@@ -151,6 +151,14 @@ def main() -> None:
     timed("batch_60q", lambda: batch_search(pidx, batch_queries, k=10).count())
     extras["batch_queries_per_sec"] = round(60 / timings["batch_60q"], 1)
 
+    # same 60 queries through the block-max kernel in one job
+    from lucene_solr_old_spark.operators.wand import batch_wand_search
+
+    timed("batch_wand_60q",
+          lambda: batch_wand_search(cidx, batch_queries, k=10).count())
+    extras["batch_wand_queries_per_sec"] = round(
+        60 / timings["batch_wand_60q"], 1)
+
     # --- stage 3: pipeline ops --------------------------------------------
     toks = D.ws_tokens(docs, key_col="doc_key", text_col="text")
     timed("minhash_lsh", lambda: D.lsh_candidate_pairs(

@@ -35,7 +35,7 @@ from ..functions.tokenizer import get_analyzer
 from .codec import decode_block
 from .indexer import InvertedIndex
 
-__all__ = ["wand_search"]
+__all__ = ["wand_search", "batch_wand_search"]
 
 _SAFETY = np.float32(1.0 + 1e-5)  # absorbs f32 rounding in bound comparisons
 
@@ -251,3 +251,83 @@ def wand_search(index: InvertedIndex, query_text: str, k: int = 10,
     return (out.select("key", "score")
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(k))
+
+
+def batch_wand_search(index: InvertedIndex, queries: list[tuple],
+                      k: int = 10) -> DataFrame:
+    """Whole query workload through the block-max kernel in ONE job.
+
+    queries: [(qid, query_text, mode)] with mode in {"OR", "AND"}.
+    Returns (qid, rank, key, score).
+
+    Plan: one term-pruned scan of the union of all query terms; ONE
+    applyInPandas per segment runs every query's kernel against that
+    segment's blocks (per-segment top-k), then a per-qid window merges
+    leaves — the per-query Spark scheduling floor is amortized across the
+    workload exactly like operators/batch.py, but with MaxScore block
+    skipping instead of the relational aggregation."""
+    if "blocks" not in index.postings.columns:
+        raise ValueError("batch_wand_search requires a compressed index")
+    analyzer = get_analyzer(index.analyzer)
+    qinfo: list[tuple] = []           # (qid, [terms], mults, conj)
+    all_terms: set[str] = set()
+    for qid, text, mode in queries:
+        terms = [t.term for t in analyzer(text)]
+        if not terms:
+            continue
+        mults = {t: terms.count(t) for t in set(terms)}
+        qinfo.append((qid, sorted(set(terms)), mults,
+                      mode.upper() == "AND"))
+        all_terms.update(terms)
+    if not qinfo:
+        return index.docmeta.sparkSession.createDataFrame(
+            [], "qid INT, rank INT, key STRING, score FLOAT")
+    max_doc, sum_ttf = index.collection_stats()
+    stats = Bm25Stats(max_doc, sum_ttf)
+    tstats = index.term_stats(sorted(all_terms))
+    weights = {t: stats.weight_value(tstats.get(t, (0, 0))[0])
+               for t in all_terms}
+    cache = stats.cache
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        by_term = {r.term: list(r.blocks)
+                   for r in pdf.itertuples(index=False)}
+        out_q, out_d, out_s = [], [], []
+        for qid, terms, mults, conj in qinfo:
+            rows = [(t, by_term[t]) for t in terms if t in by_term]
+            if not rows:
+                continue
+            if conj:
+                if len(rows) < len(terms):
+                    continue
+                d, s = _conjunctive_kernel(rows, weights, cache, k, mults)
+            else:
+                d, s = _disjunctive_kernel(rows, weights, cache, k, mults)
+            if d.size > k:
+                order = np.lexsort((d, -s))[:k]
+                d, s = d[order], s[order]
+            out_q.extend([qid] * d.size)
+            out_d.extend(d.tolist())
+            out_s.extend(s.tolist())
+        return pd.DataFrame({
+            "qid": np.asarray(out_q, dtype=np.int32),
+            "seg": np.full(len(out_q), seg, dtype=np.int32),
+            "docid": np.asarray(out_d, dtype=np.int32),
+            "score": np.asarray(out_s, dtype=np.float32),
+        })
+
+    matched = index.postings.where(F.col("term").isin(sorted(all_terms)))
+    per_seg = (matched.select("seg", "term", "blocks")
+               .groupBy("seg")
+               .applyInPandas(kernel,
+                              schema="qid INT, seg INT, docid INT, "
+                                     "score FLOAT"))
+    from pyspark.sql import Window
+    with_keys = per_seg.join(index.docmeta.select("seg", "docid", "key"),
+                             ["seg", "docid"])
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("key"))
+    return (with_keys.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "key", "score")
+            .orderBy("qid", "rank"))

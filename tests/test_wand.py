@@ -147,3 +147,23 @@ def test_kernel_randomized_vs_bruteforce():
         assert [g[0] for g in got] == [e[0] for e in exp], case
         for (gd, gs), (_ed, es) in zip(got, exp):
             assert abs(float(gs) - float(es)) < 1e-5, (case, gd)
+
+
+def test_batch_wand_matches_individual(spark, both_indexes):
+    """batch_wand_search == wand_search per query, one job."""
+    from lucene_solr_old_spark.operators.wand import batch_wand_search
+
+    _raw, cidx = both_indexes
+    queries = [(0, "running meetings", "OR"), (1, "caresses ponies", "AND"),
+               (2, "relational hopeful", "OR"),
+               (3, "running running meetings", "OR")]
+    batch = batch_wand_search(cidx, queries, k=10)
+    by_qid = {}
+    for r in batch.collect():
+        by_qid.setdefault(r["qid"], []).append(
+            (r["rank"], r["key"], round(float(r["score"]), 5)))
+    for qid, text, mode in queries:
+        single = wand_search(cidx, text, k=10, mode=mode)
+        exp = [(i + 1, r["key"], round(float(r["score"]), 5))
+               for i, r in enumerate(single.collect())]
+        assert sorted(by_qid.get(qid, [])) == exp, (qid, text)
