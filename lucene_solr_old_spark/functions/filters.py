@@ -36,7 +36,8 @@ import unicodedata
 from .tokenizer import Token
 
 __all__ = ["ascii_fold", "fold_text", "word_delimiter", "shingle",
-           "SynonymMap", "synonym_filter", "edge_ngrams"]
+           "SynonymMap", "synonym_filter", "edge_ngrams",
+           "char_ngram_tokens"]
 
 
 # ---------------------------------------------------------------------------
@@ -360,3 +361,12 @@ def edge_ngrams(tokens: list[Token], min_gram: int = 1,
         for g in range(min_gram, min(max_gram, len(t.term)) + 1):
             out.append(Token(t.term[:g], t.pos, t.start, t.start + g))
     return out
+
+
+def char_ngram_tokens(text: str, n: int = 2) -> list[Token]:
+    """``ngram/NGramTokenizer.java`` (fixed gram size): character n-grams
+    of the lowercased text at consecutive positions (gram i covers chars
+    [i, i+n))."""
+    t = text.lower()
+    return [Token(t[i:i + n], i, i, i + n)
+            for i in range(max(0, len(t) - n + 1))]

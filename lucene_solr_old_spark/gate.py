@@ -723,6 +723,31 @@ def _q_lsh(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+@_reg("ann_search", f"""
+WITH b AS ({_lsh_sql().strip()}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN b ON b.vec_id = e.vec_id
+         WHERE b.bucket = (SELECT bucket FROM qb)),
+pairs AS (
+  SELECT c.vec_id, unnest(c.embedding)::DOUBLE AS x,
+         unnest((SELECT qe FROM q))::DOUBLE AS y
+  FROM cand c
+),
+dots AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+         FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
+FROM dots ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 10""")
+def _q_ann_search(spark, sf_dir):
+    # end-to-end indexed ANN: bucket prune -> exact cosine rerank (the
+    # multiprobe variant is pytest-verified; probes=0 here so the bucket
+    # set is SQL-derivable)
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return SIM.ann_search(emb, list(qvec), k=10, n_planes=8, probes=0)
+
+
 # ---- text analysis ----------------------------------------------------------
 
 _STOP_IN = _STOP_SQL
@@ -1389,6 +1414,68 @@ def _q_edge_ngram(spark, sf_dir):
             .agg(F.sum("df").cast("long").alias("df"),
                  F.sum("ttf").cast("long").alias("ttf"))
             .orderBy(F.desc("df"), F.asc("term")).limit(20))
+
+
+from .functions.filters import char_ngram_tokens  # noqa: E402
+
+register_analyzer("ngram2_gate", lambda text: char_ngram_tokens(text, 2))
+
+
+def _lq2_values() -> str:
+    # char-bigram doclens reach text length (~600) — taller norm table
+    rows = []
+    for L in range(1, 1025):
+        lq = LQ64[int(doclen_to_norm(L))]
+        rows.append(f"({L},{lq!r}::DOUBLE)")
+    return ",".join(rows)
+
+
+_NG_IDF = ("(SELECT ln(1 + ((SELECT max_doc FROM cs2) - df + 0.5::DOUBLE)"
+           "/(df + 0.5::DOUBLE)) FROM gdf WHERE gram = '{g}')")
+
+
+@_reg("ngram_phrase", f"""WITH
+g AS (
+  SELECT d.doc_id, i.i, substr(lower(d.text), i.i + 1, 2) AS gram
+  FROM documents d, (SELECT unnest(range(0, 1024)) AS i) i
+  WHERE i.i <= length(d.text) - 2
+),
+gdf AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+dl2 AS (SELECT doc_id, (length(text) - 1)::INT AS doclen FROM documents
+        WHERE length(text) >= 2),
+cs2 AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+               (SELECT sum(doclen) FROM dl2) AS sum_ttf),
+lq2(doclen, lq) AS (VALUES {{LQ2}}),
+-- NGramPhraseQuery rewrite of "spark": grams sp@0, ar@2, rk@3
+pf AS (
+  SELECT a.doc_id, count(*) AS pfreq
+  FROM g a
+  JOIN g b ON b.doc_id = a.doc_id AND b.i = a.i + 2
+  JOIN g c ON c.doc_id = a.doc_id AND c.i = a.i + 3
+  WHERE a.gram = 'sp' AND b.gram = 'ar' AND c.gram = 'rk'
+  GROUP BY a.doc_id
+),
+w AS (SELECT (({_NG_IDF.format(g='sp')} + {_NG_IDF.format(g='ar')})
+              + {_NG_IDF.format(g='rk')}) * 2.2::DOUBLE AS wv)
+SELECT pf.doc_id,
+       round(((SELECT wv FROM w) * pf.pfreq)
+             / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lq2.lq)
+                /((SELECT sum_ttf FROM cs2) / (SELECT max_doc FROM cs2)))),
+             4) AS score
+FROM pf JOIN dl2 ON dl2.doc_id = pf.doc_id
+JOIN lq2 ON lq2.doclen = dl2.doclen
+ORDER BY ((SELECT wv FROM w) * pf.pfreq)
+         / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lq2.lq)
+            /((SELECT sum_ttf FROM cs2) / (SELECT max_doc FROM cs2)))) DESC,
+         pf.doc_id
+LIMIT 20""".replace("{LQ2}", _lq2_values()))
+def _q_ngram_phrase(spark, sf_dir):
+    # NGramPhraseQuery: bigram field, phrase "spark" rewritten to the
+    # stride-2 gram subset {sp@0, ar@2, rk@3} — same match set, fewer
+    # posting lists read
+    idx = _filtered_index(spark, sf_dir, "ngram2_gate")
+    return _as_docid_score(
+        S.ngram_phrase_search(idx, "spark", n=2, k=20, precision="float64"))
 
 
 # WordDelimiter needs case/digit/punct transitions the synthetic corpus

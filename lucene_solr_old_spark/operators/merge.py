@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .indexer import InvertedIndex
 
 __all__ = ["TieredMergePlanner", "SegmentMeta", "merge_segments",
-           "delete_docs", "force_merge", "upsert_docs", "versioned_upsert"]
+           "delete_docs", "force_merge", "upsert_docs", "versioned_upsert",
+           "merge_many"]
 
 
 @dataclass
@@ -344,3 +345,83 @@ def versioned_upsert(index: InvertedIndex, versions: DataFrame,
                     .join(winners.select("key"), "key", "left_anti")
                     .unionByName(winners.select("key", "version")))
     return new_index, new_versions
+
+
+def merge_many(index: InvertedIndex, merges: list[list[int]],
+               target_segs: list[int] | None = None,
+               deleted_keys: DataFrame | None = None) -> InvertedIndex:
+    """Execute ALL planned merges in ONE DataFrame job — the
+    ConcurrentMergeScheduler analogue (``index/ConcurrentMergeScheduler
+    .java`` runs disjoint merges on background threads; on Spark the same
+    disjointness lets every merge share a single scan/renumber/aggregate
+    pass, so a whole TieredMergePolicy round costs one job instead of one
+    per merge).
+
+    ``merges``: disjoint segment-id groups (e.g. ``TieredMergePlanner.
+    find_merges`` output).  ``target_segs`` defaults to each group's min
+    id.  Docids renumber densely per TARGET segment with per-source
+    offsets (no global sort — same shape as merge_segments).
+    """
+    if not merges:
+        return index
+    flat = [s for m in merges for s in m]
+    if len(set(flat)) != len(flat):
+        raise ValueError("merge groups must be disjoint")
+    if target_segs is None:
+        target_segs = [min(m) for m in merges]
+    seg_to_tgt = {s: t for m, t in zip(merges, target_segs) for s in m}
+    wp = index.with_positions
+    in_merge = F.col("seg").isin(flat)
+    tgt_col = F.create_map(*[x for s, t in seg_to_tgt.items()
+                             for x in (F.lit(s), F.lit(t))])
+
+    src_meta = index.docmeta.where(in_merge)
+    if deleted_keys is not None:
+        src_meta = src_meta.join(deleted_keys, "key", "left_anti")
+    counts = {r["seg"]: r["n"] for r in
+              src_meta.groupBy("seg").agg(F.count("*").alias("n")).collect()}
+    base: dict[int, int] = {}
+    acc: dict[int, int] = {}
+    for s in sorted(counts):
+        t = seg_to_tgt[s]
+        base[s] = acc.get(t, 0)
+        acc[t] = base[s] + counts[s]
+    base_col = F.create_map(*[x for s, b in base.items()
+                              for x in (F.lit(s), F.lit(b))])
+    w = Window.partitionBy("seg").orderBy("docid")
+    docmap = src_meta.select(
+        "seg", "docid",
+        tgt_col[F.col("seg")].cast("int").alias("tseg"),
+        (base_col[F.col("seg")] + F.row_number().over(w) - 1)
+        .cast("int").alias("new_docid"))
+    new_meta = (src_meta.join(docmap, ["seg", "docid"])
+                .select(F.col("tseg").alias("seg"),
+                        F.col("new_docid").alias("docid"),
+                        "key", "doclen", "norm"))
+
+    src_posts = (index.postings.where(in_merge)
+                 .select("seg", "term", F.explode("postings").alias("p"))
+                 .select("seg", "term", *_posting_cols(wp)))
+    remapped = (src_posts.join(docmap, ["seg", "docid"])
+                .drop("seg", "docid")
+                .withColumnRenamed("tseg", "seg")
+                .withColumnRenamed("new_docid", "docid"))
+    pcols = [F.col("docid"), F.col("freq"), F.col("norm")]
+    if wp:
+        pcols.append(F.col("positions"))
+    new_posts = (remapped.groupBy("seg", "term")
+                 .agg(F.count("*").cast("int").alias("df"),
+                      F.sum("freq").cast("long").alias("ttf"),
+                      F.sort_array(F.collect_list(F.struct(*pcols)))
+                      .alias("postings")))
+    new_stats = new_meta.groupBy("seg").agg(
+        F.count("*").alias("max_doc"), F.sum("doclen").alias("sum_ttf"))
+
+    keep = ~in_merge
+    return InvertedIndex(
+        postings=index.postings.where(keep).unionByName(new_posts),
+        docmeta=index.docmeta.where(keep).unionByName(new_meta),
+        segstats=index.segstats.where(keep).unionByName(new_stats),
+        with_positions=wp,
+        analyzer=index.analyzer,
+    )

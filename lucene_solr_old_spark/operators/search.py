@@ -49,7 +49,7 @@ from .indexer import InvertedIndex
 __all__ = [
     "term_score_frame", "phrase_score_frame", "search_terms", "search_or",
     "search_and", "search_dismax", "search_phrase", "count_query",
-    "search_after",
+    "search_after", "ngram_phrase_search",
 ]
 
 
@@ -482,3 +482,28 @@ def explain(index: InvertedIndex, query_text: str, key: str) -> list[dict]:
     if out:
         out.append({"term": "<sum>", "partial": float(total)})
     return out
+
+
+def ngram_phrase_search(index: InvertedIndex, query_text: str, n: int = 2,
+                        k: int = 10,
+                        precision: str = "float32") -> DataFrame:
+    """NGramPhraseQuery (``search/NGramPhraseQuery.java:40-72``): a phrase
+    over an n-gram-tokenized field only needs the grams at positions
+    0, n, 2n, ... plus the LAST gram — overlapping grams at stride n cover
+    every character, so the reduced phrase matches exactly the same docs
+    while reading ~1/n of the posting lists.  Weight = summed idf over the
+    KEPT grams (the rewrite scores with the reduced term set)."""
+    text = query_text.lower()
+    grams = [text[i:i + n] for i in range(max(0, len(text) - n + 1))]
+    if not grams:
+        return index.docmeta.select(
+            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    if len(grams) == 1:
+        return search_terms(index, grams[0], "OR", k, precision=precision)
+    keep = list(range(0, len(grams), n))
+    if keep[-1] != len(grams) - 1:
+        keep.append(len(grams) - 1)
+    terms = [grams[i] for i in keep]
+    frame = phrase_score_frame(index, terms, precision, slop=0,
+                               offsets=keep)
+    return _topk(frame.select("seg", "docid", "score"), index, k, precision)

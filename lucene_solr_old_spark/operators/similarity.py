@@ -19,7 +19,8 @@ import hashlib
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["cosine_topk", "cosine_score_col", "srp_planes", "lsh_buckets"]
+__all__ = ["cosine_topk", "cosine_score_col", "srp_planes", "lsh_buckets",
+           "ann_search"]
 
 
 def cosine_score_col(vec_col, query: list[float]):
@@ -72,3 +73,44 @@ def lsh_buckets(emb: DataFrame, dim: int, n_planes: int = 8,
         bit = F.when(dot > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return emb.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+
+
+def _query_bucket(query: list[float], planes: list[list[int]]) -> int:
+    b = 0
+    for j, plane in enumerate(planes):
+        dot = sum(float(x) * s for x, s in zip(query, plane))
+        if dot > 0:
+            b += 1 << j
+    return b
+
+
+def ann_search(emb: DataFrame, query: list[float], k: int = 10,
+               n_planes: int = 8, probes: int = 1,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """End-to-end ANN lookup: LSH bucket the corpus, probe the query's
+    bucket plus ``probes`` Hamming-1 neighbor buckets (multiprobe LSH —
+    flip the planes whose |dot| is smallest, i.e. the least-confident
+    bits), then EXACT cosine rerank of the candidates only.
+
+    (id, cos) top-k.  The scan prunes to the probed buckets before any
+    vector math: at 10^12 vectors the candidate set is corpus/2^n_planes
+    per probe, and the rerank is the only per-candidate float work."""
+    dim = len(query)
+    planes = srp_planes(dim, n_planes)
+    q_bucket = _query_bucket(query, planes)
+    # multiprobe: flip the least-confident bits first
+    margins = sorted(
+        (abs(sum(float(x) * s for x, s in zip(query, plane))), j)
+        for j, plane in enumerate(planes))
+    targets = [q_bucket]
+    for _m, j in margins[:max(0, probes)]:
+        targets.append(q_bucket ^ (1 << j))
+    buckets = lsh_buckets(emb, dim, n_planes, id_col, vec_col)
+    cand_ids = buckets.where(F.col("bucket").isin(targets)).select(id_col)
+    cand = emb.join(cand_ids, id_col, "left_semi")
+    return (cand.select(F.col(id_col),
+                        F.round(cosine_score_col(F.col(vec_col), query), 6)
+                        .alias("cos"))
+            .orderBy(F.desc("cos"), F.asc(id_col))
+            .limit(k))

@@ -58,3 +58,26 @@ def test_ngram_jaccard_cap_drops_boilerplate_only_pairs(spark, docs):
     # 1-3 / 2-3 share ONLY the boilerplate shingles -> dropped by the cap
     assert (1, 3) in full and (1, 3) not in capped
     assert (2, 3) in full and (2, 3) not in capped
+
+
+def test_ann_multiprobe_superset_and_exact_rerank(spark):
+    """Multiprobe widens the candidate set; rerank is exact cosine, so
+    probed results converge to brute force as probes grow."""
+    import random
+
+    from lucene_solr_old_spark.operators.similarity import (ann_search,
+                                                            cosine_topk)
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    q = rows[0][1]
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    got0 = {r["vec_id"] for r in
+            ann_search(emb, q, k=5, n_planes=6, probes=0).collect()}
+    got4 = {r["vec_id"] for r in
+            ann_search(emb, q, k=5, n_planes=6, probes=4).collect()}
+    # query vector itself always survives (same bucket, cos=1)
+    assert 0 in got0 and 0 in got4
+    # more probes -> recall of the true top-5 can only improve
+    assert len(got0 & set(brute)) <= len(got4 & set(brute))

@@ -239,3 +239,22 @@ def test_versioned_upsert_optimistic_concurrency(spark, docs_df, corpus):
     assert vmap[stale_key] == cur[stale_key]
     assert vmap[fresh_key] == cur[fresh_key] + 100
     assert vmap["https://brand.new/doc"] == 1
+
+
+def test_merge_many_one_job_equals_sequential(spark, docs_df):
+    """All planned merges in one pass == sequential merge_segments."""
+    from lucene_solr_old_spark.operators.merge import merge_many
+
+    idx = build_index(docs_df, num_segments=6)
+    many = merge_many(idx, [[0, 1, 2], [3, 4]])
+    seq = merge_segments(idx, [0, 1, 2], target_seg=0)
+    seq = merge_segments(seq, [3, 4], target_seg=3)
+    assert sorted(r["seg"] for r in many.segstats.collect()) == \
+        sorted(r["seg"] for r in seq.segstats.collect()) == [0, 3, 5]
+    assert many.collection_stats() == seq.collection_stats()
+    for q in QUERIES:
+        assert pairs(S.search_or(many, q, k=10)) == \
+            pairs(S.search_or(seq, q, k=10)), q
+    # no single-partition exchange in the combined renumber
+    plan = many.docmeta._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -62,3 +62,30 @@ def test_slop2_includes_reversal_and_dist2(idx):
 def test_slop_excludes_beyond(idx):
     got = rows(S.search_phrase(idx, "alpha beta", k=10, slop=2))
     assert "d5" not in got and "d6" not in got
+
+
+def test_ngram_phrase_equals_full_phrase(spark):
+    """NGramPhraseQuery rewrite matches the SAME docs as the full gram
+    phrase (overlapping stride-n grams + last cover every char)."""
+    from lucene_solr_old_spark.functions.filters import char_ngram_tokens
+    from lucene_solr_old_spark.functions.tokenizer import register_analyzer
+    from lucene_solr_old_spark.operators.indexer import build_index
+    from lucene_solr_old_spark.operators.search import (ngram_phrase_search,
+                                                        phrase_score_frame)
+
+    register_analyzer("ngram2_test", lambda t: char_ngram_tokens(t, 2))
+    docs = [("d1", "sparkling water"), ("d2", "spark plug"),
+            ("d3", "parking lot"), ("d4", "no match here")]
+    df = spark.createDataFrame(docs, "url STRING, text STRING")
+    idx = build_index(df, num_segments=2, analyzer="ngram2_test").persist()
+    got = {r["key"] for r in
+           ngram_phrase_search(idx, "spark", n=2, k=10).collect()}
+    assert got == {"d1", "d2"}
+    # full (unoptimized) gram phrase: same match set
+    grams = ["sp", "pa", "ar", "rk"]
+    full = phrase_score_frame(idx, grams, slop=0,
+                              offsets=list(range(4)))
+    full_keys = {r["key"] for r in
+                 full.join(idx.docmeta.select("seg", "docid", "key"),
+                           ["seg", "docid"]).select("key").collect()}
+    assert full_keys == got
