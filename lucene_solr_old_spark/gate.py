@@ -1505,6 +1505,51 @@ def _q_wdf(spark, sf_dir):
             .orderBy("term"))
 
 
+# ---- date math / DateTools (SURVEY §2.8) --------------------------------------
+
+from datetime import datetime as _dt  # noqa: E402
+
+from .functions.datemath import date_math_lit, datetools_string  # noqa: E402
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@_reg("date_math_range", """
+SELECT event_type, count(*)::BIGINT AS cnt, round(sum(value), 4) AS total
+FROM events
+WHERE ts >= date_trunc('day', TIMESTAMP '2024-01-20 13:45:00')
+          - INTERVAL 7 DAY
+  AND ts < date_trunc('day', TIMESTAMP '2024-01-20 13:45:00')
+GROUP BY event_type ORDER BY event_type""")
+def _q_date_math(spark, sf_dir):
+    # Solr date math "NOW/DAY-7DAYS" .. "NOW/DAY" with NOW pinned; the
+    # oracle re-derives the bounds with plain interval arithmetic, so it
+    # cross-checks the DateMathParser port
+    now = _dt(2024, 1, 20, 13, 45, 0)
+    ev = _events(spark, sf_dir)
+    lo = date_math_lit("NOW/DAY-7DAYS", now)
+    hi = date_math_lit("NOW/DAY", now)
+    return (ev.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("total"))
+            .orderBy("event_type"))
+
+
+@_reg("datetools_string", """
+SELECT strftime(ts, '%Y%m%d') AS day_key, count(*)::BIGINT AS cnt
+FROM events GROUP BY day_key ORDER BY day_key LIMIT 40""")
+def _q_datetools(spark, sf_dir):
+    # DateTools.timeToString at DAY resolution: the lexicographically
+    # sortable date-string field encoding
+    ev = _events(spark, sf_dir)
+    return (ev.select(datetools_string(F.col("ts"), "day").alias("day_key"))
+            .groupBy("day_key").agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy("day_key").limit(40))
+
+
 # ---- percolation / MemoryIndex (SURVEY §2.5 #75) ------------------------------
 
 from .operators.percolate import percolate  # noqa: E402
