@@ -1706,6 +1706,83 @@ def _q_lm_dirichlet(spark, sf_dir):
         search_lmdirichlet(idx, "spark join", k=20, precision="float64"))
 
 
+@_reg("dfr_gl2", f"""WITH {_PRELUDE},
+tterm AS (SELECT term, sum(freq) AS ttf FROM tf GROUP BY term),
+scored_dfr AS (
+  SELECT tf.doc_id,
+         SUM((log2(((tterm.ttf + 1.0::DOUBLE)
+                    / ((SELECT max_doc FROM cs) + tterm.ttf + 1.0::DOUBLE))
+                   + 1.0::DOUBLE)
+              + (tf.freq * log2(1.0::DOUBLE
+                   + ((SELECT sum_ttf FROM cs)
+                      / (SELECT max_doc FROM cs)) / lqt.lq))
+                * log2((1.0::DOUBLE + ((tterm.ttf + 1.0::DOUBLE)
+                        / ((SELECT max_doc FROM cs) + tterm.ttf
+                           + 1.0::DOUBLE)))
+                       / ((tterm.ttf + 1.0::DOUBLE)
+                          / ((SELECT max_doc FROM cs) + tterm.ttf
+                             + 1.0::DOUBLE))))
+             * (1.0::DOUBLE
+                / ((tf.freq * log2(1.0::DOUBLE
+                     + ((SELECT sum_ttf FROM cs)
+                        / (SELECT max_doc FROM cs)) / lqt.lq))
+                   + 1.0::DOUBLE))) AS s
+  FROM tf JOIN tterm USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('join','spark')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored_dfr
+ORDER BY s DESC, doc_id LIMIT 20""")
+def _q_dfr(spark, sf_dir):
+    # DFR G-L-H2: divergence-from-randomness, geometric model + Laplace
+    # after-effect + H2 length normalization
+    from .operators.tfidf import search_dfr_gl2
+
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(
+        search_dfr_gl2(idx, "spark join", k=20, precision="float64"))
+
+
+@_reg("ib_spl", f"""WITH {_PRELUDE},
+lamt AS (
+  SELECT term,
+         CASE WHEN (df + 1.0::DOUBLE)
+                   / ((SELECT max_doc FROM cs) + 1.0::DOUBLE) = 1.0::DOUBLE
+              THEN 0.99::DOUBLE
+              ELSE (df + 1.0::DOUBLE)
+                   / ((SELECT max_doc FROM cs) + 1.0::DOUBLE) END AS lam
+  FROM dfreq
+),
+scored_ib AS (
+  SELECT tf.doc_id,
+         SUM(-ln((pow(lamt.lam,
+                      (tf.freq * log2(1.0::DOUBLE
+                         + ((SELECT sum_ttf FROM cs)
+                            / (SELECT max_doc FROM cs)) / lqt.lq))
+                      / ((tf.freq * log2(1.0::DOUBLE
+                           + ((SELECT sum_ttf FROM cs)
+                              / (SELECT max_doc FROM cs)) / lqt.lq))
+                         + 1.0::DOUBLE))
+                  - lamt.lam)
+                 / (1.0::DOUBLE - lamt.lam))) AS s
+  FROM tf JOIN lamt USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('join','spark')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored_ib
+ORDER BY s DESC, doc_id LIMIT 20""")
+def _q_ib(spark, sf_dir):
+    # IB SPL-DF-H2: information-based model, smoothed power-law
+    # distribution with df-based lambda
+    from .operators.tfidf import search_ib_spl
+
+    idx = doc_index(spark, sf_dir)
+    return _as_docid_score(
+        search_ib_spl(idx, "spark join", k=20, precision="float64"))
+
+
 # ---- query elevation (SURVEY §2.5 #72) ----------------------------------------
 
 from .operators.elevation import elevate_query  # noqa: E402

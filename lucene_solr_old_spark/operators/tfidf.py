@@ -29,7 +29,8 @@ from ..functions.tokenizer import get_analyzer
 from .indexer import InvertedIndex
 from .search import _topk
 
-__all__ = ["search_tfidf", "tfidf_score_frame", "search_lmdirichlet"]
+__all__ = ["search_tfidf", "tfidf_score_frame", "search_lmdirichlet",
+           "search_dfr_gl2", "search_ib_spl"]
 
 # decoded norm per byte — DefaultSimilarity.NORM_TABLE (:95-97)
 _NORM_TABLE = [float(byte315_to_float(b)) for b in range(256)]
@@ -143,5 +144,111 @@ def search_lmdirichlet(index: InvertedIndex, query_text: str, k: int = 10,
         "tscore",
         F.greatest(F.lit(0.0).cast(stype), raw.cast(stype))
         * mmap[F.col("term")])
+    agg = scored.groupBy("seg", "docid").agg(F.sum("tscore").alias("score"))
+    return _topk(agg.select("seg", "docid", "score"), index, k, precision)
+
+
+def search_dfr_gl2(index: InvertedIndex, query_text: str, k: int = 10,
+                   c: float = 1.0,
+                   precision: str = "float32") -> DataFrame:
+    """DFR similarity, configuration G-L-H2 (``search/similarities/
+    DFRSimilarity.java:108-112`` with ``BasicModelG`` + ``AfterEffectL``
+    + ``NormalizationH2``):
+
+      tfn    = freq * log2(1 + c * avgFieldLength / dl)   (H2)
+      lambda = (ttf + 1) / (N + ttf + 1)                  (G)
+      score_t = (log2(lambda+1) + tfn * log2((1+lambda)/lambda))
+                * (1 / (tfn + 1))                         (L)
+
+    dl is the quantized doc length from the norm byte (SimilarityBase
+    decode — LQ64); avgFieldLength = sumTotalTermFreq / maxDoc."""
+    from .search import LQ64
+
+    stype = "double" if precision == "float64" else "float"
+    terms = [t.term for t in get_analyzer(index.analyzer)(query_text)]
+    if not terms:
+        return index.docmeta.select(
+            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    uniq = sorted(set(terms))
+    max_doc, sum_ttf = index.collection_stats()
+    tstats = index.term_stats(uniq)
+    avg_fl = sum_ttf / max_doc if max_doc else 1.0
+    lam = {t: (tstats.get(t, (0, 0))[1] + 1.0)
+           / (max_doc + tstats.get(t, (0, 0))[1] + 1.0) for t in uniq}
+    mult = {t: terms.count(t) for t in uniq}
+    lmap = F.create_map(*[x for t, v in lam.items()
+                          for x in (F.lit(t), F.lit(v).cast(stype))])
+    mmap = F.create_map(*[x for t, m in mult.items()
+                          for x in (F.lit(t), F.lit(float(m)).cast(stype))])
+    lq_arr = F.array(*[F.lit(v).cast(stype) for v in LQ64])
+
+    exploded = (index.postings.where(F.col("term").isin(uniq))
+                .select("seg", "term", F.explode("postings").alias("p"))
+                .select("seg", "term",
+                        F.col("p.docid").alias("docid"),
+                        F.col("p.freq").alias("freq"),
+                        F.col("p.norm").alias("norm")))
+    dl = F.element_at(lq_arr, F.col("norm") + 1)
+    tfn = (F.col("freq").cast(stype)
+           * F.log2(F.lit(1.0).cast(stype)
+                    + F.lit(c * avg_fl).cast(stype) / dl))
+    lamc = lmap[F.col("term")]
+    basic = (F.log2(lamc + F.lit(1.0).cast(stype))
+             + tfn * F.log2((F.lit(1.0).cast(stype) + lamc) / lamc))
+    ae = F.lit(1.0).cast(stype) / (tfn + F.lit(1.0).cast(stype))
+    scored = exploded.withColumn(
+        "tscore", (basic * ae).cast(stype) * mmap[F.col("term")])
+    agg = scored.groupBy("seg", "docid").agg(F.sum("tscore").alias("score"))
+    return _topk(agg.select("seg", "docid", "score"), index, k, precision)
+
+
+def search_ib_spl(index: InvertedIndex, query_text: str, k: int = 10,
+                  c: float = 1.0,
+                  precision: str = "float32") -> DataFrame:
+    """Information-based similarity, configuration SPL-DF-H2
+    (``search/similarities/IBSimilarity.java:96-102`` with
+    ``DistributionSPL`` + ``LambdaDF`` + ``NormalizationH2``):
+
+      tfn     = freq * log2(1 + c * avgFieldLength / dl)     (H2)
+      lambda  = (df + 1) / (N + 1)                           (DF)
+      score_t = -ln((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda))  (SPL)
+    """
+    from .search import LQ64
+
+    stype = "double" if precision == "float64" else "float"
+    terms = [t.term for t in get_analyzer(index.analyzer)(query_text)]
+    if not terms:
+        return index.docmeta.select(
+            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    uniq = sorted(set(terms))
+    max_doc, sum_ttf = index.collection_stats()
+    tstats = index.term_stats(uniq)
+    avg_fl = sum_ttf / max_doc if max_doc else 1.0
+    lam = {}
+    for t in uniq:
+        v = (tstats.get(t, (0, 0))[0] + 1.0) / (max_doc + 1.0)
+        lam[t] = 0.99 if v == 1.0 else v
+    mult = {t: terms.count(t) for t in uniq}
+    lmap = F.create_map(*[x for t, v in lam.items()
+                          for x in (F.lit(t), F.lit(v).cast(stype))])
+    mmap = F.create_map(*[x for t, m in mult.items()
+                          for x in (F.lit(t), F.lit(float(m)).cast(stype))])
+    lq_arr = F.array(*[F.lit(v).cast(stype) for v in LQ64])
+    exploded = (index.postings.where(F.col("term").isin(uniq))
+                .select("seg", "term", F.explode("postings").alias("p"))
+                .select("seg", "term",
+                        F.col("p.docid").alias("docid"),
+                        F.col("p.freq").alias("freq"),
+                        F.col("p.norm").alias("norm")))
+    dl = F.element_at(lq_arr, F.col("norm") + 1)
+    tfn = (F.col("freq").cast(stype)
+           * F.log2(F.lit(1.0).cast(stype)
+                    + F.lit(c * avg_fl).cast(stype) / dl))
+    lamc = lmap[F.col("term")]
+    spl = -F.log(
+        (F.pow(lamc, tfn / (tfn + F.lit(1.0).cast(stype))) - lamc)
+        / (F.lit(1.0).cast(stype) - lamc))
+    scored = exploded.withColumn(
+        "tscore", spl.cast(stype) * mmap[F.col("term")])
     agg = scored.groupBy("seg", "docid").agg(F.sum("tscore").alias("score"))
     return _topk(agg.select("seg", "docid", "score"), index, k, precision)

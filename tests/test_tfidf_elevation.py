@@ -131,3 +131,18 @@ class TestSuggesters:
                for r in word_combine_suggest(
                    idx, ["data", "base", "admin"], k=5).collect()]
         assert got == [("database", 0)]
+
+
+def test_dfr_and_ib_rank_sensibly(idx):
+    """DFR G-L-H2 and IB SPL-DF-H2 run and rank matching docs only."""
+    from lucene_solr_old_spark.operators.tfidf import (search_dfr_gl2,
+                                                       search_ib_spl)
+
+    for fn in (search_dfr_gl2, search_ib_spl):
+        got = [(r["key"], float(r["score"]))
+               for r in fn(idx, "spark join", k=10).collect()]
+        keys = [k for k, _ in got]
+        assert set(keys) <= {"d1", "d2", "d3"}
+        assert all(s > 0 for _, s in got)
+        # d1 matches both terms: must rank above single-term docs
+        assert keys[0] == "d1"
