@@ -84,12 +84,16 @@ scored AS (
 
 
 def _topk_sql(terms, k=20, having="", extra_where=""):
+    # rank on the ROUNDED score with doc_id tie-break: float64 SUM order is
+    # scan-order-dependent on BOTH engines, so raw-score ranking can flip
+    # docs at an exact-tie band around rank k; rounding to the compared
+    # precision first makes the cut deterministic on both sides
     return f"""WITH {_PRELUDE}, {_scored_cte(terms)}
 SELECT doc_id, round(s, 4) AS score
 FROM scored
 WHERE 1=1 {extra_where}
 {having}
-ORDER BY s DESC, doc_id
+ORDER BY round(s, 4) DESC, doc_id
 LIMIT {k}"""
 
 
@@ -132,6 +136,17 @@ def _as_docid_score(df: DataFrame) -> DataFrame:
         F.round(F.col("score"), 4).alias("score"))
 
 
+def _stable_topk(df: DataFrame, k: int = 20) -> DataFrame:
+    """Deterministic gate cut: the engine OVERFETCHES (2k) in its native
+    raw-score order, then the gate re-ranks by (rounded score, doc_id) —
+    matching the oracle's ORDER BY round(s,4) DESC, doc_id.  Exact-tie
+    bands at the boundary then cut identically on both sides regardless
+    of float64 summation order."""
+    return (_as_docid_score(df)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
 # --------------------------------------------------------------------------
 # the gate registry: name -> (spark_fn(spark, sf_dir) -> DataFrame, sql)
 # --------------------------------------------------------------------------
@@ -151,21 +166,21 @@ def _reg(name: str, sql: str | None):
 @_reg("term_query", _topk_sql(["spark"]))
 def _q_term(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(S.search_or(idx, "spark", k=20, precision="float64"))
+    return _stable_topk(S.search_or(idx, "spark", k=40, precision="float64"))
 
 
 @_reg("bool_or", _topk_sql(["spark", "join"]))
 def _q_or(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(
-        S.search_or(idx, "spark join", k=20, precision="float64"))
+    return _stable_topk(
+        S.search_or(idx, "spark join", k=40, precision="float64"))
 
 
 @_reg("bool_and", _topk_sql(["spark", "join"], extra_where="AND nmatched = 2"))
 def _q_and(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(
-        S.search_and(idx, "spark join", k=20, precision="float64"))
+    return _stable_topk(
+        S.search_and(idx, "spark join", k=40, precision="float64"))
 
 
 @_reg("bool_must_not", _topk_sql(
@@ -173,16 +188,16 @@ def _q_and(spark, sf_dir):
     extra_where="AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')"))
 def _q_not(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(S.search_terms(
-        idx, "spark", exclude_text="vector", k=20, precision="float64"))
+    return _stable_topk(S.search_terms(
+        idx, "spark", exclude_text="vector", k=40, precision="float64"))
 
 
 @_reg("min_should_match",
       _topk_sql(["spark", "join", "merge"], extra_where="AND nmatched >= 2"))
 def _q_msm(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(S.search_terms(
-        idx, "spark join merge", k=20, min_should_match=2,
+    return _stable_topk(S.search_terms(
+        idx, "spark join merge", k=40, min_should_match=2,
         precision="float64"))
 
 
@@ -195,11 +210,12 @@ ts AS (
 )
 SELECT doc_id, round(MAX(s) + 0.3::DOUBLE*(SUM(s) - MAX(s)), 4) AS score
 FROM ts GROUP BY doc_id
-ORDER BY MAX(s) + 0.3::DOUBLE*(SUM(s) - MAX(s)) DESC, doc_id LIMIT 20""")
+ORDER BY round(MAX(s) + 0.3::DOUBLE*(SUM(s) - MAX(s)), 4) DESC, doc_id
+LIMIT 20""")
 def _q_dismax(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(S.search_dismax(
-        idx, "spark join", k=20, tie_breaker=0.3, precision="float64"))
+    return _stable_topk(S.search_dismax(
+        idx, "spark join", k=40, tie_breaker=0.3, precision="float64"))
 
 
 # ---- phrase (positions) -----------------------------------------------------
@@ -223,13 +239,13 @@ SELECT pf.doc_id,
        round(((SELECT wv FROM w) * pf.pfreq)
              / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) AS score
 FROM pf JOIN dl ON dl.doc_id = pf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
-ORDER BY ((SELECT wv FROM w) * pf.pfreq)
-         / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})) DESC, pf.doc_id
+ORDER BY round(((SELECT wv FROM w) * pf.pfreq)
+         / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) DESC, pf.doc_id
 LIMIT 20""")
 def _q_phrase(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(S.search_phrase(
-        idx, " ".join(_PHRASE_T), k=20, precision="float64"))
+    return _stable_topk(S.search_phrase(
+        idx, " ".join(_PHRASE_T), k=40, precision="float64"))
 
 
 # ---- multi-term rewrites (prefix/fuzzy/range; SURVEY §2.5 MTQ) --------------
@@ -413,7 +429,7 @@ def _q_join(spark, sf_dir):
 @_reg("function_query", f"""WITH {_PRELUDE}, {_scored_cte(["spark"])}
 SELECT s.doc_id, round(s.s + ln(1 + d.n_chars), 4) AS fscore
 FROM scored s JOIN documents d USING(doc_id)
-ORDER BY s.s + ln(1 + d.n_chars) DESC, s.doc_id LIMIT 20""")
+ORDER BY round(s.s + ln(1 + d.n_chars), 4) DESC, s.doc_id LIMIT 20""")
 def _q_funcq(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
     scored, _sc = S.term_score_frame(idx, ["spark"], precision="float64")
@@ -424,8 +440,9 @@ def _q_funcq(spark, sf_dir):
             .join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"))
     fs = F.col("s") + F.log(F.lit(1).cast("double") + F.col("n_chars"))
     return (hits.withColumn("_f", fs)
-            .orderBy(F.desc("_f"), F.asc("doc_id")).limit(20)
-            .select("doc_id", F.round(F.col("_f"), 4).alias("fscore")))
+            .orderBy(F.desc("_f"), F.asc("doc_id")).limit(40)
+            .select("doc_id", F.round(F.col("_f"), 4).alias("fscore"))
+            .orderBy(F.desc("fscore"), F.asc("doc_id")).limit(20))
 
 
 @_reg("more_like_this", f"""WITH {_PRELUDE},
@@ -445,7 +462,7 @@ mscored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(s, 4) AS score FROM mscored
-ORDER BY s DESC, doc_id LIMIT 20""")
+ORDER BY round(s, 4) DESC, doc_id LIMIT 20""")
 def _q_mlt(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
     max_doc, _ = idx.collection_stats()
@@ -473,8 +490,8 @@ def _q_mlt(spark, sf_dir):
                         ["seg", "docid"])
            .where(F.col("key") != key0)
            .select("key", "score")
-           .orderBy(F.desc("score"), F.asc("key")).limit(20))
-    return _as_docid_score(out)
+           .orderBy(F.desc("score"), F.asc("key")).limit(40))
+    return _stable_topk(out)
 
 
 # --------------------------------------------------------------------------
@@ -829,11 +846,11 @@ SELECT doc_id, round(s, 4) AS score
 FROM scored
 WHERE has_must >= 1
   AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')
-ORDER BY s DESC, doc_id LIMIT 20""")
+ORDER BY round(s, 4) DESC, doc_id LIMIT 20""")
 def _q_parser(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(_execute_bool(
-        idx, "+spark join -vector", k=20, precision="float64"))
+    return _stable_topk(_execute_bool(
+        idx, "+spark join -vector", k=40, precision="float64"))
 
 
 @_reg("wand_topk", _topk_sql(["spark", "join", "merge"]))
@@ -848,10 +865,8 @@ def _q_wand(spark, sf_dir):
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = compress_index(doc_index(spark, sf_dir)).persist()
     cidx = _INDEX_CACHE[key]
-    return wand_search(cidx, "spark join merge", k=20,
-                       precision="float64").select(
-        F.col("key").cast("long").alias("doc_id"),
-        F.round(F.col("score").cast("double"), 4).alias("score"))
+    return _stable_topk(
+        wand_search(cidx, "spark join merge", k=40, precision="float64"))
 
 
 @_reg("multimodal_meta", """
@@ -993,11 +1008,12 @@ high AS (
 )
 SELECT low.doc_id, round(low.s + coalesce(high.s, 0.0::DOUBLE), 4) AS score
 FROM low LEFT JOIN high ON low.doc_id = high.doc_id
-ORDER BY low.s + coalesce(high.s, 0.0::DOUBLE) DESC, low.doc_id LIMIT 20""")
+ORDER BY round(low.s + coalesce(high.s, 0.0::DOUBLE), 4) DESC, low.doc_id
+LIMIT 20""")
 def _q_common_terms(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(common_terms_query(
-        idx, "vector dup", max_df_ratio=0.3, k=20, precision="float64"))
+    return _stable_topk(common_terms_query(
+        idx, "vector dup", max_df_ratio=0.3, k=40, precision="float64"))
 
 
 # span fixtures: exact NearSpansOrdered/Unordered + span algebra, oracle =
@@ -1070,8 +1086,8 @@ SELECT m.doc_id, round(m.sfreq, 6) AS sfreq,
        round(({_SPANW} * m.sfreq)
              / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) AS score
 FROM m JOIN dl ON dl.doc_id = m.doc_id JOIN lqt ON lqt.doclen = dl.doclen
-ORDER BY ({_SPANW} * m.sfreq)
-         / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})) DESC, m.doc_id
+ORDER BY round(({_SPANW} * m.sfreq)
+         / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) DESC, m.doc_id
 LIMIT 20""")
 def _q_span_first(spark, sf_dir):
     from .operators.spans import span_score_frame
@@ -1085,7 +1101,8 @@ def _q_span_first(spark, sf_dir):
                    F.round("sfreq", 6).alias("sfreq"),
                    F.round("score", 4).alias("score"),
                    F.col("score").alias("_s"))
-           .orderBy(F.desc("_s"), F.asc("doc_id")).limit(20)
+           .orderBy(F.desc("_s"), F.asc("doc_id")).limit(40)
+           .orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
            .drop("_s"))
     return out
 
@@ -1107,8 +1124,8 @@ SELECT m.doc_id, round(m.sfreq, 6) AS sfreq,
        round(({_SPANW2} * m.sfreq)
              / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) AS score
 FROM m JOIN dl ON dl.doc_id = m.doc_id JOIN lqt ON lqt.doclen = dl.doclen
-ORDER BY ({_SPANW2} * m.sfreq)
-         / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})) DESC, m.doc_id
+ORDER BY round(({_SPANW2} * m.sfreq)
+         / (m.sfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) DESC, m.doc_id
 LIMIT 20""")
 def _q_span_or(spark, sf_dir):
     from .operators.spans import span_score_frame
@@ -1122,7 +1139,8 @@ def _q_span_or(spark, sf_dir):
                     F.round("sfreq", 6).alias("sfreq"),
                     F.round("score", 4).alias("score"),
                     F.col("score").alias("_s"))
-            .orderBy(F.desc("_s"), F.asc("doc_id")).limit(20)
+            .orderBy(F.desc("_s"), F.asc("doc_id")).limit(40)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
             .drop("_s"))
 
 
@@ -1153,17 +1171,21 @@ allq AS ({" UNION ALL ".join(
                     (2, "vector", "OR")])})
 SELECT qid, rank, doc_id, round(s, 4) AS score FROM (
   SELECT qid, doc_id, s,
-         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)
-           AS rank
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank
   FROM allq
 ) WHERE rank <= 5 ORDER BY qid, rank""")
 def _q_batch(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    out = batch_search(idx, _BATCH_QUERIES, k=5, precision="float64")
-    return out.select("qid",
-                      F.col("rank").cast("long").alias("rank"),
-                      F.col("key").cast("long").alias("doc_id"),
-                      F.round(F.col("score"), 4).alias("score"))
+    out = batch_search(idx, _BATCH_QUERIES, k=10, precision="float64")
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 4)), F.asc(F.col("key").cast("long")))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("qid",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("key").cast("long").alias("doc_id"),
+                    F.round(F.col("score"), 4).alias("score")))
 
 
 # ---- highlighting -----------------------------------------------------------
@@ -1366,11 +1388,11 @@ scored2 AS (
   WHERE tf2.term = 'sparksyn'
 )
 SELECT doc_id, round(s, 4) AS score FROM scored2
-ORDER BY s DESC, doc_id LIMIT 20""")
+ORDER BY round(s, 4) DESC, doc_id LIMIT 20""")
 def _q_synonym(spark, sf_dir):
     idx = _filtered_index(spark, sf_dir, "ws_syn_gate")
-    return _as_docid_score(
-        S.search_or(idx, "sparksyn", k=20, precision="float64"))
+    return _stable_topk(
+        S.search_or(idx, "sparksyn", k=40, precision="float64"))
 
 
 @_reg("shingle_terms", f"""WITH {_PRELUDE},
@@ -1464,18 +1486,18 @@ SELECT pf.doc_id,
              4) AS score
 FROM pf JOIN dl2 ON dl2.doc_id = pf.doc_id
 JOIN lq2 ON lq2.doclen = dl2.doclen
-ORDER BY ((SELECT wv FROM w) * pf.pfreq)
+ORDER BY round(((SELECT wv FROM w) * pf.pfreq)
          / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE + (0.75::DOUBLE*lq2.lq)
-            /((SELECT sum_ttf FROM cs2) / (SELECT max_doc FROM cs2)))) DESC,
-         pf.doc_id
+            /((SELECT sum_ttf FROM cs2) / (SELECT max_doc FROM cs2)))), 4)
+         DESC, pf.doc_id
 LIMIT 20""".replace("{LQ2}", _lq2_values()))
 def _q_ngram_phrase(spark, sf_dir):
     # NGramPhraseQuery: bigram field, phrase "spark" rewritten to the
     # stride-2 gram subset {sp@0, ar@2, rk@3} — same match set, fewer
     # posting lists read
     idx = _filtered_index(spark, sf_dir, "ngram2_gate")
-    return _as_docid_score(
-        S.ngram_phrase_search(idx, "spark", n=2, k=20, precision="float64"))
+    return _stable_topk(
+        S.ngram_phrase_search(idx, "spark", n=2, k=40, precision="float64"))
 
 
 # WordDelimiter needs case/digit/punct transitions the synthetic corpus
@@ -1671,13 +1693,14 @@ ts AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(s * (nmatched / 2.0::DOUBLE), 4) AS score
-FROM ts ORDER BY s * (nmatched / 2.0::DOUBLE) DESC, doc_id LIMIT 20""")
+FROM ts ORDER BY round(s * (nmatched / 2.0::DOUBLE), 4) DESC, doc_id
+LIMIT 20""")
 def _q_tfidf(spark, sf_dir):
     # ClassicSimilarity: sqrt-tf, squared idf, queryNorm, coord, byte315
     # length norm (DefaultSimilarity.java:61-140)
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(
-        search_tfidf(idx, "spark join", k=20, precision="float64"))
+    return _stable_topk(
+        search_tfidf(idx, "spark join", k=40, precision="float64"))
 
 
 @_reg("lm_dirichlet", f"""WITH {_PRELUDE},
@@ -1695,15 +1718,15 @@ scored_lm AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(s, 4) AS score FROM scored_lm
-ORDER BY s DESC, doc_id LIMIT 20""")
+ORDER BY round(s, 4) DESC, doc_id LIMIT 20""")
 def _q_lm_dirichlet(spark, sf_dir):
     # LMDirichletSimilarity (mu=2000): language-model scoring over the
     # same postings/norm data as BM25/TFIDF (pluggable Similarity)
     from .operators.tfidf import search_lmdirichlet
 
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(
-        search_lmdirichlet(idx, "spark join", k=20, precision="float64"))
+    return _stable_topk(
+        search_lmdirichlet(idx, "spark join", k=40, precision="float64"))
 
 
 @_reg("dfr_gl2", f"""WITH {_PRELUDE},
@@ -1733,15 +1756,15 @@ scored_dfr AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(s, 4) AS score FROM scored_dfr
-ORDER BY s DESC, doc_id LIMIT 20""")
+ORDER BY round(s, 4) DESC, doc_id LIMIT 20""")
 def _q_dfr(spark, sf_dir):
     # DFR G-L-H2: divergence-from-randomness, geometric model + Laplace
     # after-effect + H2 length normalization
     from .operators.tfidf import search_dfr_gl2
 
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(
-        search_dfr_gl2(idx, "spark join", k=20, precision="float64"))
+    return _stable_topk(
+        search_dfr_gl2(idx, "spark join", k=40, precision="float64"))
 
 
 @_reg("ib_spl", f"""WITH {_PRELUDE},
@@ -1772,15 +1795,15 @@ scored_ib AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(s, 4) AS score FROM scored_ib
-ORDER BY s DESC, doc_id LIMIT 20""")
+ORDER BY round(s, 4) DESC, doc_id LIMIT 20""")
 def _q_ib(spark, sf_dir):
     # IB SPL-DF-H2: information-based model, smoothed power-law
     # distribution with df-based lambda
     from .operators.tfidf import search_ib_spl
 
     idx = doc_index(spark, sf_dir)
-    return _as_docid_score(
-        search_ib_spl(idx, "spark join", k=20, precision="float64"))
+    return _stable_topk(
+        search_ib_spl(idx, "spark join", k=40, precision="float64"))
 
 
 # ---- query elevation (SURVEY §2.5 #72) ----------------------------------------
@@ -1799,16 +1822,20 @@ base AS (
 )
 SELECT doc_id, round(s, 4) AS score, elevated
 FROM base WHERE doc_id <> 1
-ORDER BY elevated DESC, erank ASC, s DESC, doc_id LIMIT 20""")
+ORDER BY elevated DESC, erank ASC, round(s, 4) DESC, doc_id LIMIT 20""")
 def _q_elevation(spark, sf_dir):
     # QueryElevationComponent: docs 7,3 pinned (in that order), doc 1
     # excluded; organic 'spark' ranking below the pins
     idx = doc_index(spark, sf_dir)
     pad = lambda n: str(n).rjust(10, "0")  # noqa: E731
     out = elevate_query(idx, "spark", [pad(7), pad(3)],
-                        excluded_keys=[pad(1)], k=20, precision="float64")
-    return out.select(F.col("key").cast("long").alias("doc_id"),
-                      F.round("score", 4).alias("score"), "elevated")
+                        excluded_keys=[pad(1)], k=40, precision="float64")
+    erank = F.when(F.col("doc_id") == 7, 0).when(F.col("doc_id") == 3, 1)
+    return (out.select(F.col("key").cast("long").alias("doc_id"),
+                       F.round("score", 4).alias("score"), "elevated")
+            .orderBy(F.desc("elevated"), erank.asc(),
+                     F.desc("score"), F.asc("doc_id"))
+            .limit(20))
 
 
 # ---- block join (SURVEY §2.5 #62) --------------------------------------------
@@ -1824,7 +1851,7 @@ agg AS (
   GROUP BY r.parent_key
 )
 SELECT parent_key, round(total / nc, 4) AS score, nc::BIGINT AS n_children
-FROM agg ORDER BY total / nc DESC, parent_key LIMIT 20""")
+FROM agg ORDER BY round(total / nc, 4) DESC, parent_key LIMIT 20""")
 def _q_block_join(spark, sf_dir):
     # ToParentBlockJoinQuery ScoreMode.Avg: parents = doc_id//10 groups,
     # children scored by the child query, parent score = avg(child)
@@ -1832,11 +1859,12 @@ def _q_block_join(spark, sf_dir):
     relation = _docs(spark, sf_dir).select(
         F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("child_key"),
         F.floor(F.col("doc_id") / 10).cast("long").alias("parent_key"))
-    out = to_parent_join(idx, "spark", relation, score_mode="avg", k=20,
+    out = to_parent_join(idx, "spark", relation, score_mode="avg", k=40,
                          precision="float64")
-    return out.select("parent_key",
-                      F.round("score", 4).alias("score"),
-                      F.col("n_children").cast("long").alias("n_children"))
+    return (out.select("parent_key",
+                       F.round("score", 4).alias("score"),
+                       F.col("n_children").cast("long").alias("n_children"))
+            .orderBy(F.desc("score"), F.asc("parent_key")).limit(20))
 
 
 # ---- pivot facets -----------------------------------------------------------
