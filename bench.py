@@ -18,8 +18,9 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      this 32-thread box: each Arrow task runs a JVM thread + a Python
      worker, so local[32] oversubscribes 2x and anti-scales; see
      BASELINE.md "scaling" notes),
-     SPARK_GRAFT_BENCH_DOCS (default 100000 synthetic pages —
-     large enough that build time dominates the ~2s scheduling floor).
+     SPARK_GRAFT_BENCH_DOCS (default 300000 synthetic pages —
+     large enough that build time dominates the ~2s scheduling floor
+     and throughput approaches steady state).
 """
 
 from __future__ import annotations
@@ -44,7 +45,7 @@ from lucene_solr_old_spark.sources.pages import pages_dataframe  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = get_spark("bench", master=f"local[{cpus}]",
