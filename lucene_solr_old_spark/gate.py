@@ -1527,6 +1527,76 @@ def _q_wdf(spark, sf_dir):
             .orderBy("term"))
 
 
+# ---- edismax multi-field (SURVEY §2.5 QParserPlugin surface) ------------------
+
+from .operators.multifield import MultiFieldIndex, search_edismax  # noqa: E402
+
+_LQ1 = repr(LQ64[int(doclen_to_norm(1))])  # quantized doclen of a 1-token field
+
+
+def _edismax_word_sql(w: str) -> str:
+    """Per-clause CTE pair: body (full prelude stats) + tag (1-token field
+    with its own stats), boosts body=1.0 tag=2.0."""
+    return f"""
+  SELECT tf.doc_id, 'body' AS fld, {_TERM_SCORE} AS s
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term = '{w}'
+  UNION ALL
+  SELECT t.doc_id, 'tag' AS fld,
+         (2.0::DOUBLE * (ln(1 + ((SELECT max_doc FROM cs) - tagdf.df
+                                 + 0.5::DOUBLE)/(tagdf.df + 0.5::DOUBLE))
+                         * 2.2::DOUBLE))
+         / (1.0::DOUBLE + 1.2::DOUBLE*(0.25::DOUBLE
+            + (0.75::DOUBLE * {_LQ1}::DOUBLE)
+              / ((SELECT count(*) FROM tagtok)::DOUBLE
+                 / (SELECT max_doc FROM cs)))) AS s
+  FROM tagtok t JOIN tagdf ON tagdf.tagterm = t.tagterm
+  WHERE t.tagterm = '{w}'"""
+
+
+@_reg("edismax", f"""WITH {_PRELUDE},
+tagtok AS (
+  SELECT doc_id, split_part(text, ' ', 1) AS tagterm FROM documents
+  WHERE split_part(text, ' ', 1) NOT IN ({_STOP_SQL})
+),
+tagdf AS (SELECT tagterm, count(*) AS df FROM tagtok GROUP BY tagterm),
+c0 AS ({_edismax_word_sql('spark')}),
+c1 AS ({_edismax_word_sql('merge')}),
+dm AS (
+  SELECT doc_id, 0 AS clause,
+         MAX(s) + 0.3::DOUBLE * (SUM(s) - MAX(s)) AS cscore
+  FROM c0 GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 1 AS clause,
+         MAX(s) + 0.3::DOUBLE * (SUM(s) - MAX(s)) AS cscore
+  FROM c1 GROUP BY doc_id
+)
+SELECT doc_id, round(SUM(cscore), 4) AS score
+FROM dm GROUP BY doc_id
+ORDER BY round(SUM(cscore), 4) DESC, doc_id LIMIT 20""")
+def _q_edismax(spark, sf_dir):
+    # ExtendedDisMax over sibling fields body (full text) and tag (first
+    # word), per-field analyzers/stats/boosts, tie=0.3
+    cache_key = (id(spark), f"{sf_dir}::edismax_mfi")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.col("text").alias("body"),
+            F.split(F.col("text"), " ").getItem(0).alias("tag"))
+        body_idx = build_index(docs, key_col="doc_key", text_col="body",
+                               num_segments=4, analyzer="ws_stop").persist()
+        tag_idx = build_index(docs, key_col="doc_key", text_col="tag",
+                              num_segments=4, analyzer="ws_stop").persist()
+        _INDEX_CACHE[cache_key] = MultiFieldIndex(
+            {"body": body_idx, "tag": tag_idx}, default_field="body")
+    mfi = _INDEX_CACHE[cache_key]
+    out = search_edismax(mfi, "spark merge",
+                         qf={"body": 1.0, "tag": 2.0}, tie=0.3, mm=1,
+                         k=40, precision="float64")
+    return _stable_topk(out)
+
+
 # ---- date math / DateTools (SURVEY §2.8) --------------------------------------
 
 from datetime import datetime as _dt  # noqa: E402

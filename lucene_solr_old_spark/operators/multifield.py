@@ -23,7 +23,8 @@ from .indexer import InvertedIndex, build_index
 from .search import term_score_frame
 from ..functions.tokenizer import get_analyzer
 
-__all__ = ["MultiFieldIndex", "build_multifield_index", "search_fielded"]
+__all__ = ["MultiFieldIndex", "build_multifield_index", "search_fielded",
+           "search_edismax"]
 
 
 class MultiFieldIndex:
@@ -100,5 +101,61 @@ def search_fielded(mfi: MultiFieldIndex, query: str, k: int = 10,
     stype = "double" if precision == "float64" else "float"
     return (union.groupBy("key")
             .agg(F.sum("score").cast(stype).alias("score"))
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(k))
+
+
+def search_edismax(mfi: MultiFieldIndex, query_text: str,
+                   qf: dict[str, float], tie: float = 0.0,
+                   mm: int = 0, k: int = 10,
+                   precision: str = "float32") -> DataFrame:
+    """ExtendedDisMax (``solr/core/src/java/org/apache/solr/search/
+    ExtendedDismaxQParser.java``): each whitespace word of the user query
+    becomes a DisjunctionMaxQuery across the ``qf`` fields (per-field
+    analysis, per-field stats, per-field boost), clause score =
+    max_field + tie * (sum - max); the clause dismaxes are summed, and
+    ``mm`` (minimum-should-match) requires that many clauses to hit.
+
+    Plan: per (clause, field) score frames keyed by doc key, ONE union ->
+    groupBy(key, clause) computes the dismax -> groupBy(key) sums + counts
+    matched clauses.  Cross-field alignment happens on the shared doc key
+    (fields are sibling indexes over the same corpus).
+    """
+    stype = "double" if precision == "float64" else "float"
+    words = [w for w in query_text.split() if w]
+    frames = []
+    for ci, word in enumerate(words):
+        for fname, boost in qf.items():
+            idx = mfi.indexes.get(fname)
+            if idx is None:
+                continue
+            terms = [t.term for t in get_analyzer(idx.analyzer)(word)]
+            if not terms:
+                continue
+            scored, _ = term_score_frame(idx, terms, boost=boost,
+                                         precision=precision)
+            per_doc = scored.groupBy("seg", "docid").agg(
+                F.sum("score").alias("fscore"))
+            keyed = (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
+                                  ["seg", "docid"])
+                     .select("key", F.lit(ci).alias("clause"), "fscore"))
+            frames.append(keyed)
+    if not frames:
+        any_idx = mfi.indexes[mfi.default_field]
+        return any_idx.docmeta.select(
+            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    per_clause = union.groupBy("key", "clause").agg(
+        (F.max("fscore")
+         + F.lit(tie).cast(stype) * (F.sum("fscore") - F.max("fscore")))
+        .alias("cscore"))
+    agg = per_clause.groupBy("key").agg(
+        F.sum("cscore").cast(stype).alias("score"),
+        F.count("*").alias("nmatched"))
+    if mm > 0:
+        agg = agg.where(F.col("nmatched") >= mm)
+    return (agg.select("key", "score")
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(k))

@@ -67,3 +67,45 @@ def test_cross_field_sum(mfi):
     for key in both:
         exp = t.get(key, 0.0) + b.get(key, 0.0)
         assert both[key] == pytest.approx(exp, rel=1e-6), key
+
+
+def test_edismax_dismax_and_mm(spark):
+    """edismax: per-word cross-field dismax with tie + minimum match."""
+    import numpy as np
+    import pytest as _pt
+
+    from lucene_solr_old_spark.operators.indexer import build_index
+    from lucene_solr_old_spark.operators.multifield import (MultiFieldIndex,
+                                                            search_edismax)
+    from lucene_solr_old_spark.operators.search import search_or
+
+    rows = [("d1", "spark engine guide", "spark"),
+            ("d2", "merge policies", "docs"),
+            ("d3", "unrelated text", "spark"),
+            ("d4", "spark spark spark", "other")]
+    df = spark.createDataFrame(rows, "url STRING, body STRING, tag STRING")
+    body = build_index(df, key_col="url", text_col="body", num_segments=2,
+                       analyzer="ws_stop").persist()
+    tag = build_index(df, key_col="url", text_col="tag", num_segments=2,
+                      analyzer="ws_stop").persist()
+    mfi = MultiFieldIndex({"body": body, "tag": tag}, default_field="body")
+
+    got = {r["key"]: float(r["score"])
+           for r in search_edismax(mfi, "spark merge",
+                                   qf={"body": 1.0, "tag": 2.0},
+                                   tie=0.5, k=10).collect()}
+    # cross-check d1 (matches 'spark' in BOTH fields) by hand
+    b = {r["key"]: float(r["score"])
+         for r in search_or(body, "spark", k=10).collect()}
+    t2 = {r["key"]: float(r["score"])
+          for r in search_or(tag, "spark", k=10).collect()}
+    tag_boosted = 2.0 * t2["d1"]  # f32 boost fold differs slightly; approx
+    mx, sm = max(b["d1"], tag_boosted), b["d1"] + tag_boosted
+    assert got["d1"] == _pt.approx(mx + 0.5 * (sm - mx), rel=1e-4)
+    # d3 matches only via tag; d2 only via body('merge'); d4 only body
+    assert set(got) == {"d1", "d2", "d3", "d4"}
+    # mm=2 requires both words
+    got2 = {r["key"] for r in
+            search_edismax(mfi, "spark merge", qf={"body": 1.0, "tag": 2.0},
+                           mm=2, k=10).collect()}
+    assert got2 == set()  # no doc matches both words
