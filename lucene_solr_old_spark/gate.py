@@ -351,6 +351,32 @@ def _q_stats(spark, sf_dir):
         .orderBy("lang"))
 
 
+@_reg("stats_percentiles", f"""WITH {_PRELUDE},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT d.lang,
+       round(quantile_cont(d.n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(d.n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(d.n_chars, 0.9), 4) AS p90
+FROM m JOIN documents d USING(doc_id)
+GROUP BY d.lang ORDER BY d.lang""")
+def _q_stats_percentiles(spark, sf_dir):
+    # StatsComponent percentiles (exact interpolated) per group over the
+    # 'spark' hit set
+    from .operators.facets import stats_percentiles
+
+    idx = doc_index(spark, sf_dir)
+    hits = matching_docs(idx, ["spark"])
+    dims = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        "lang", "n_chars")
+    out = stats_percentiles(hits, dims, "n_chars", [0.25, 0.5, 0.9],
+                            group_by="lang")
+    return out.select("lang",
+                      F.round("p25", 4).alias("p25"),
+                      F.round("p50", 4).alias("p50"),
+                      F.round("p90", 4).alias("p90"))
+
+
 @_reg("grouping_topk", f"""WITH {_PRELUDE}, {_scored_cte(["spark", "join"])}
 SELECT lang, doc_id, rnk FROM (
   SELECT d.lang, s.doc_id,
@@ -851,6 +877,36 @@ def _q_parser(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
     return _stable_topk(_execute_bool(
         idx, "+spark join -vector", k=40, precision="float64"))
+
+
+@_reg("parser_multiterm", f"""WITH {_PRELUDE},
+pfx AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'sp%'),
+fz AS (
+  SELECT tf.doc_id, SUM({_TERM_SCORE}) AS s
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE levenshtein(tf.term, 'merge') <= 1
+  GROUP BY tf.doc_id
+),
+uni AS (
+  SELECT doc_id, 1.0::DOUBLE AS s FROM pfx
+  UNION ALL SELECT doc_id, s FROM fz
+),
+tot AS (
+  SELECT doc_id, SUM(s) AS s FROM uni
+  WHERE doc_id IN (SELECT doc_id FROM pfx)
+    AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')
+  GROUP BY doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM tot
+ORDER BY round(s, 4) DESC, doc_id LIMIT 20""")
+def _q_parser_multiterm(spark, sf_dir):
+    # classic-parser multi-term syntax: "+sp* merge~1 -vector" — prefix
+    # wildcard as a MUST constant-score clause, fuzzy expansion as a
+    # scored SHOULD, term exclusion
+    idx = doc_index(spark, sf_dir)
+    return _stable_topk(_execute_bool(
+        idx, "+sp* merge~1 -vector", k=40, precision="float64"))
 
 
 @_reg("wand_topk", _topk_sql(["spark", "join", "merge"]))

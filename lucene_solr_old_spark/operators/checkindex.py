@@ -62,6 +62,22 @@ def _uncompressed_checks(index: InvertedIndex) -> dict[str, int]:
         ).collect()[0]
         out.update({k: int(pos[k] or 0) for k in pos.asDict()})
 
+    if getattr(index, "with_offsets", False):
+        # offsets invariants: one (start, end) per occurrence; starts
+        # sorted; every end > its start (CheckIndex's offset checks)
+        off = p.select(F.explode("postings").alias("x")).select(
+            F.sum(F.when((F.size("x.starts") != F.col("x.freq"))
+                         | (F.size("x.ends") != F.col("x.freq")), 1)
+                  .otherwise(0)).alias("offset_count_mismatch"),
+            F.sum(F.when(F.col("x.starts")
+                         != F.array_sort("x.starts"), 1)
+                  .otherwise(0)).alias("offsets_unsorted"),
+            F.sum(F.when(F.exists(F.arrays_zip("x.starts", "x.ends"),
+                                  lambda z: z["ends"] <= z["starts"]), 1)
+                  .otherwise(0)).alias("offset_end_not_after_start"),
+        ).collect()[0]
+        out.update({k: int(off[k] or 0) for k in off.asDict()})
+
     # cross-table: posting docids ⊆ docmeta; norms consistent
     pd_ids = p.select("seg", F.explode("postings.docid").alias("docid")).distinct()
     orphan = pd_ids.join(index.docmeta.select("seg", "docid"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .indexer import InvertedIndex
 from .search import term_score_frame
 
-__all__ = ["taxonomy_counts", "drill_down",
+__all__ = ["taxonomy_counts", "drill_down", "stats_percentiles",
            "matching_docs", "facet_field", "facet_range", "facet_queries",
            "facet_pivot", "stats_agg", "group_topk"]
 
@@ -206,3 +206,18 @@ def drill_down(result_docs: DataFrame, paths: DataFrame, prefix: str,
     return (under.where(F.size(F.split(F.col(path_col), sep)) > depth)
             .select(child.alias("child"))
             .groupBy("child").agg(F.count("*").alias("cnt")))
+
+
+def stats_percentiles(result_docs: DataFrame, dims: DataFrame, field: str,
+                      percentiles: list[float],
+                      key_col: str = "key",
+                      group_by: str | None = None) -> DataFrame:
+    """StatsComponent ``percentiles`` (Solr exposes them through t-digest;
+    here EXACT interpolated percentiles — at 100 TB swap F.percentile for
+    percentile_approx and accept the documented epsilon)."""
+    joined = result_docs.join(dims, key_col)
+    aggs = [F.percentile(F.col(field), F.lit(p)).alias(f"p{int(p * 100)}")
+            for p in percentiles]
+    if group_by:
+        return joined.groupBy(group_by).agg(*aggs).orderBy(group_by)
+    return joined.agg(*aggs)

@@ -8,6 +8,15 @@ A re-derivation of the classic QueryParser's core surface
     -term                -- MUST_NOT clause
     "a b"                -- exact phrase (slop 0)
     term^2.5             -- boost
+    te?m / ter*          -- wildcard/prefix (constant-score rewrite,
+                            ``search/WildcardQuery.java`` + the parser's
+                            CONSTANT_SCORE_AUTO default)
+    term~ / term~1       -- fuzzy (dictionary expansion scored as a
+                            disjunction; uniform boost — a documented
+                            simplification of TopTermsScoringBoolean's
+                            similarity-scaled boosts)
+    [a TO b] / {a TO b}  -- term range (constant score; [] inclusive,
+                            {} exclusive — ``TermRangeQuery``)
     AND/OR/NOT           -- infix sugar: `a AND b` == `+a +b`,
                             `a OR b` == `a b`, `NOT a` == `-a`
 
@@ -29,8 +38,8 @@ from ..functions.tokenizer import get_analyzer
 from ..operators import search as S
 from ..operators.indexer import InvertedIndex
 
-__all__ = ["TermClause", "PhraseClause", "BoolQuery", "parse_query",
-           "execute"]
+__all__ = ["TermClause", "PhraseClause", "WildcardClause", "FuzzyClause",
+           "RangeClause", "BoolQuery", "parse_query", "execute"]
 
 
 @dataclass
@@ -46,6 +55,28 @@ class PhraseClause:
 
 
 @dataclass
+class WildcardClause:
+    pattern: str            # * = any run, ? = one char (lowercased)
+    boost: float = 1.0
+
+
+@dataclass
+class FuzzyClause:
+    text: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+@dataclass
+class RangeClause:
+    lower: str
+    upper: str
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass
 class BoolQuery:
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
@@ -54,8 +85,13 @@ class BoolQuery:
 
 
 _TOKEN_RE = re.compile(
-    r'(?P<op>[+-])?(?:"(?P<phrase>[^"]*)"|(?P<term>[^\s^]+))'
+    r'(?P<op>[+-])?'
+    r'(?:"(?P<phrase>[^"]*)"'
+    r'|(?P<lb>[\[{])(?P<lo>\S+) TO (?P<hi>\S+)(?P<rb>[\]}])'
+    r'|(?P<term>[^\s^]+))'
     r"(?:\^(?P<boost>[0-9.]+))?")
+
+_FUZZY_RE = re.compile(r"^(?P<base>.+?)~(?P<edits>[0-2])?$")
 
 
 def parse_query(q: str) -> BoolQuery:
@@ -67,9 +103,23 @@ def parse_query(q: str) -> BoolQuery:
             pending = raw_term
             continue
         boost = float(m.group("boost") or 1.0)
-        clause = (PhraseClause(m.group("phrase"), boost)
-                  if m.group("phrase") is not None
-                  else TermClause(raw_term, boost))
+        if m.group("phrase") is not None:
+            clause = PhraseClause(m.group("phrase"), boost)
+        elif m.group("lo") is not None:
+            clause = RangeClause(m.group("lo").lower(),
+                                 m.group("hi").lower(),
+                                 include_lower=m.group("lb") == "[",
+                                 include_upper=m.group("rb") == "]",
+                                 boost=boost)
+        else:
+            fz = _FUZZY_RE.match(raw_term)
+            if fz and "~" in raw_term:
+                clause = FuzzyClause(fz.group("base").lower(),
+                                     int(fz.group("edits") or 2), boost)
+            elif "*" in raw_term or "?" in raw_term:
+                clause = WildcardClause(raw_term.lower(), boost)
+            else:
+                clause = TermClause(raw_term, boost)
         op = m.group("op")
         if pending in ("NOT",):
             op = "-"
@@ -88,9 +138,51 @@ def parse_query(q: str) -> BoolQuery:
     return out
 
 
+def _wildcard_regex(pattern: str) -> str:
+    esc = re.escape(pattern)
+    return "^" + esc.replace(r"\*", ".*").replace(r"\?", ".") + "$"
+
+
+def _range_pred(clause: RangeClause):
+    lo = (F.col("term") >= clause.lower if clause.include_lower
+          else F.col("term") > clause.lower)
+    hi = (F.col("term") <= clause.upper if clause.include_upper
+          else F.col("term") < clause.upper)
+    return lo & hi
+
+
+def _fuzzy_terms(index: InvertedIndex, clause: FuzzyClause) -> list[str]:
+    rows = (index.postings.select("term").distinct()
+            .where(F.levenshtein(F.col("term"), F.lit(clause.text))
+                   <= clause.max_edits)
+            .collect())
+    return sorted(r["term"] for r in rows)
+
+
 def _clause_frame(index: InvertedIndex, clause, clause_id: int,
                   precision: str):
-    """-> (frame(seg, docid, score, cid) | None, analyzed_ok)."""
+    """-> frame(seg, docid, score, cid) | None."""
+    stype = "double" if precision == "float64" else "float"
+    if isinstance(clause, (WildcardClause, RangeClause)):
+        # constant-score multi-term rewrite: score = boost per matching doc
+        pred = (F.col("term").rlike(_wildcard_regex(clause.pattern))
+                if isinstance(clause, WildcardClause)
+                else _range_pred(clause))
+        docs = (index.postings.where(pred)
+                .select("seg", F.explode("postings.docid").alias("docid"))
+                .distinct())
+        frame = docs.withColumn("score",
+                                F.lit(clause.boost).cast(stype))
+        return frame.withColumn("cid", F.lit(clause_id))
+    if isinstance(clause, FuzzyClause):
+        terms = _fuzzy_terms(index, clause)
+        if not terms:
+            return None
+        scored, _ = S.term_score_frame(index, terms, boost=clause.boost,
+                                       precision=precision)
+        frame = (scored.groupBy("seg", "docid")
+                 .agg(F.sum("score").alias("score")))
+        return frame.withColumn("cid", F.lit(clause_id))
     analyzer = get_analyzer(index.analyzer)
     terms = [t.term for t in analyzer(clause.text)]
     if not terms:
@@ -147,11 +239,22 @@ def execute(index: InvertedIndex, query, k: int = 10,
             F.col("n_matched") - F.col("n_must_matched")
             >= query.min_should_match)
     for clause in query.must_not:
-        analyzer = get_analyzer(index.analyzer)
-        terms = [t.term for t in analyzer(clause.text)]
-        if not terms:
-            continue
-        ex = (index.postings.where(F.col("term").isin(terms))
+        if isinstance(clause, WildcardClause):
+            pred = F.col("term").rlike(_wildcard_regex(clause.pattern))
+        elif isinstance(clause, RangeClause):
+            pred = _range_pred(clause)
+        elif isinstance(clause, FuzzyClause):
+            terms = _fuzzy_terms(index, clause)
+            if not terms:
+                continue
+            pred = F.col("term").isin(terms)
+        else:
+            analyzer = get_analyzer(index.analyzer)
+            terms = [t.term for t in analyzer(clause.text)]
+            if not terms:
+                continue
+            pred = F.col("term").isin(terms)
+        ex = (index.postings.where(pred)
               .select("seg", F.explode("postings.docid").alias("docid"))
               .distinct())
         agg = agg.join(ex, ["seg", "docid"], "left_anti")

@@ -50,3 +50,17 @@ def test_corruption_detected(idx):
         idx.segstats.withColumn("max_doc", F.col("max_doc") + 5),
         idx.with_positions, idx.analyzer)
     assert validate_index(bad3)["bad_segstats"] > 0
+
+
+def test_offsets_index_validates(spark):
+    from lucene_solr_old_spark.operators.checkindex import validate_index
+    from lucene_solr_old_spark.operators.indexer import build_index
+
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "beta delta")],
+        "url STRING, text STRING")
+    idx = build_index(df, num_segments=1, analyzer="ws_stop",
+                      with_offsets=True)
+    report = validate_index(idx)
+    assert all(v == 0 for v in report.values()), report
+    assert "offset_count_mismatch" in report

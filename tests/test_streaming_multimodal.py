@@ -190,3 +190,23 @@ def test_flush_replay_is_idempotent(spark, tmp_path):
     grown = open_nrt_reader(spark, idx_dir)
     assert grown.collection_stats()[0] == n_docs + 10
     assert grown.segstats.count() == 4
+
+
+def test_parser_multiterm_clauses(spark, pidx):
+    """Wildcard/fuzzy/range syntax in the classic parser."""
+    from lucene_solr_old_spark.plans.query import execute, parse_query
+
+    q = parse_query('+run* -[zzz TO zzzz] meeting~1')
+    from lucene_solr_old_spark.plans.query import (FuzzyClause,
+                                                   RangeClause,
+                                                   WildcardClause)
+    idx, _ = pidx
+    assert isinstance(q.must[0], WildcardClause)
+    assert isinstance(q.must_not[0], RangeClause)
+    assert isinstance(q.should[0], FuzzyClause)
+    got = execute(idx, '+run*', k=10).collect()
+    assert len(got) > 0
+    # every hit has the constant MUST score folded in; wildcard matches
+    # stemmed 'run' terms
+    got2 = execute(idx, 'te?m', k=10)
+    got2.collect()  # wildcard single-char path executes
