@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--compress", action="store_true")
     ap.add_argument("--nosave", action="store_true")
     ap.add_argument("--nopersist", action="store_true")
+    ap.add_argument("--route", default="hash", choices=["hash", "none"])
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("index-bench")
@@ -50,7 +51,8 @@ def main() -> None:
     idx = build_index(docs, key_col="url", html_col="html",
                       num_segments=args.segments, analyzer="english",
                       salt_partitions=args.salt,
-                      persist_termdoc=not args.nopersist)
+                      persist_termdoc=not args.nopersist,
+                      route=args.route)
     if args.compress:
         idx = compress_index(idx)
     if args.nosave:
@@ -67,7 +69,7 @@ def main() -> None:
         "docs": n_docs,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 2),
-        "segments": args.segments,
+        "segments": args.segments, "route": args.route,
         "shuffle_partitions": args.shuffle,
         "compressed": bool(args.compress),
     }))

@@ -145,6 +145,7 @@ def build_index(
     persist_termdoc: bool = True,
     with_offsets: bool = False,
     fused: bool | None = None,
+    route: str = "hash",
 ) -> InvertedIndex:
     """Build the inverted index.
 
@@ -168,9 +169,25 @@ def build_index(
     enabling two-phase salted aggregation for head-term skew.  Use it when
     one segment's postings exceed Python-worker memory (the fused bound;
     Lucene bounds the same structure with its flush policy).
+
+    ``route`` picks the doc->segment assignment:
+      * ``"hash"`` (default) — one repartition by doc key: segment
+        membership and docids are DETERMINISTIC under any input
+        parallelism (the murmur3 doc-routing analogue; required for
+        reproducible builds and key-addressed upserts).
+      * ``"none"`` — ZERO-shuffle bulk ingest: segment = input partition,
+        docid = arrival order within it — exactly Lucene's
+        DocumentsWriterPerThread assignment (insertion-order docids, no
+        routing at all; ``index/DocumentsWriterFlushControl``).  Query
+        results are IDENTICAL to any other segmentation (global stats);
+        only the internal seg/docid labels differ, so use it when
+        reproducible labels don't matter — with ``fused``, the whole
+        build then moves data zero times before the segment write.
     """
     if fused is None:
         fused = not with_offsets
+    if route not in ("hash", "none"):
+        raise ValueError("route must be 'hash' or 'none'")
     if html_col is not None:
         base = docs.select(F.col(key_col).alias("key"),
                            F.col(html_col).alias("text"))
@@ -180,11 +197,14 @@ def build_index(
                            F.col(text_col).alias("text"))
         html_input = False
 
-    parted = (
-        base.repartition(num_segments, "key")
-        .sortWithinPartitions("key")
-        .withColumn("seg", F.spark_partition_id())
-    )
+    if route == "none":
+        parted = base.withColumn("seg", F.spark_partition_id())
+    else:
+        parted = (
+            base.repartition(num_segments, "key")
+            .sortWithinPartitions("key")
+            .withColumn("seg", F.spark_partition_id())
+        )
 
     if fused and not with_offsets:
         from .analysis import FUSED_SCHEMA, make_fused_postings_partition

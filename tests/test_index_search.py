@@ -298,3 +298,30 @@ def test_fused_build_identical_to_grouped(spark, corpus):
     plan = uncached.postings._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE prints the plan twice
     assert final.count("Exchange") == 1, plan
+
+
+def test_route_none_query_identical(spark, corpus):
+    """Zero-shuffle ingest (segment = input partition, DWPT-style arrival
+    docids): query results identical to the routed build — only internal
+    seg/docid labels differ."""
+    df = spark.createDataFrame(
+        corpus, schema="url STRING, warc_ts TIMESTAMP, html BINARY, "
+                       "text STRING, lang STRING").repartition(5)
+    routed = build_index(df, num_segments=4)
+    unrouted = build_index(df, route="none")
+    assert routed.collection_stats() == unrouted.collection_stats()
+    for q in ["caresses ponies", "running meetings", "don't"]:
+        a = [(r["key"], round(float(r["score"]), 5))
+             for r in S.search_or(routed, q, k=10).collect()]
+        b = [(r["key"], round(float(r["score"]), 5))
+             for r in S.search_or(unrouted, q, k=10).collect()]
+        assert a == b, q
+    # truly zero exchanges added by the build (the input's own lineage
+    # here must not contain one, so build from the raw frame)
+    raw = spark.createDataFrame(
+        corpus, schema="url STRING, warc_ts TIMESTAMP, html BINARY, "
+                       "text STRING, lang STRING")
+    plan = build_index(raw, route="none", persist_termdoc=False) \
+        .postings._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final

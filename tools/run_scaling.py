@@ -40,6 +40,7 @@ sys.path.insert(0, "/root/repo")
 N_DOCS = int(os.environ.get("SCALING_DOCS", "1200000"))
 REPS = int(os.environ.get("SCALING_REPS", "2"))
 N_LO, N_HI = 4, 16
+ROUTE = os.environ.get("SCALING_ROUTE", "none")  # bulk-ingest default
 
 
 def _burn(_):
@@ -75,6 +76,7 @@ def run_full(cores: int, zip_path: str, inp: str, out: str) -> dict:
         "--conf", "spark.ui.enabled=false", "--driver-memory", "24g",
         "bench/index_bench.py", "--input", inp, "--out", out,
         "--segments", "64", "--salt", "8", "--shuffle", str(cores * 4),
+        "--route", ROUTE,
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
                          timeout=3600)
@@ -144,6 +146,7 @@ def main() -> None:
         "protocol": f"BASELINE.md scaling (N=local[{N_LO}], 4N=local[{N_HI}];"
                     f" best-of-{REPS}; {N_DOCS} docs)",
         "corpus_docs": N_DOCS,
+        "route": ROUTE,
         "machine_cores": os.cpu_count(),
         "docs_per_sec_N": full_best[N_LO]["docs_per_sec"],
         "docs_per_sec_4N": full_best[N_HI]["docs_per_sec"],
