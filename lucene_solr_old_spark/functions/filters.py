@@ -37,7 +37,7 @@ from .tokenizer import Token
 
 __all__ = ["ascii_fold", "fold_text", "word_delimiter", "shingle",
            "SynonymMap", "synonym_filter", "edge_ngrams",
-           "char_ngram_tokens"]
+           "char_ngram_tokens", "keyword_marked_stem", "common_grams"]
 
 
 # ---------------------------------------------------------------------------
@@ -370,3 +370,47 @@ def char_ngram_tokens(text: str, n: int = 2) -> list[Token]:
     t = text.lower()
     return [Token(t[i:i + n], i, i, i + n)
             for i in range(max(0, len(t) - n + 1))]
+
+
+def keyword_marked_stem(tokens: list[Token],
+                        protected: set[str]) -> list[Token]:
+    """KeywordMarkerFilter + PorterStemFilter
+    (``miscellaneous/SetKeywordMarkerFilter.java`` +
+    ``en/PorterStemFilter.java:48-52`` — a token flagged as keyword is NOT
+    stemmed; Solr's ``protwords.txt``).  Input tokens should already be
+    lowercased/stopped."""
+    from .porter import porter_stem
+
+    return [t if t.term in protected
+            else Token(porter_stem(t.term), t.pos, t.start, t.end)
+            for t in tokens]
+
+
+def common_grams(tokens: list[Token], common_words: set[str],
+                 query_mode: bool = False, sep: str = "_") -> list[Token]:
+    """``commongrams/CommonGramsFilter.java``: wherever a COMMON word
+    (stopword-like) neighbors any token, emit the bigram "a_b" STACKED at
+    the first token's position (posInc 0) alongside the originals —
+    phrase searches over high-frequency words then hit the cheap bigram
+    postings instead of the huge stopword postings.
+
+    ``query_mode=True`` = ``CommonGramsQueryFilter``: keep ONLY the
+    bigrams where they exist (originals that participated in a bigram are
+    dropped), so queries match the indexed bigrams."""
+    out: list[Token] = []
+    in_bigram = [False] * len(tokens)
+    for i, t in enumerate(tokens):
+        nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+        adjacent = nxt is not None and nxt.pos == t.pos + 1
+        if adjacent and (t.term in common_words
+                         or nxt.term in common_words):
+            in_bigram[i] = True
+            in_bigram[i + 1] = True
+            if not query_mode:
+                out.append(t)
+            out.append(Token(t.term + sep + nxt.term, t.pos,
+                             t.start, nxt.end))
+        elif not query_mode or not in_bigram[i]:
+            out.append(t)
+    out.sort(key=lambda t: (t.pos, t.start, t.term))
+    return out

@@ -138,38 +138,58 @@ def fuzzy_suggest(table: DataFrame, query: str, k: int = 10,
 
 def free_text_suggest(tokens: DataFrame, context: str, k: int = 10,
                       alpha: float = 0.4) -> DataFrame:
-    """(word, score): next-word prediction after ``context`` (one word),
-    bigram stupid backoff (``FreeTextSuggester`` ALPHA=0.4 :129-134):
+    """(word, score): next-word prediction after ``context`` (one or two
+    words), stupid-backoff chain (``FreeTextSuggester`` ALPHA=0.4,
+    grams=3 default :129-189):
 
-      score(w | c) = count(c w) / count(c)          if the bigram exists
-                   = ALPHA * count(w) / totalTokens otherwise (backoff)
+      trigram:  count(c1 c2 w) / count(c1 c2)        (2-word context)
+      bigram:   ALPHA^d * count(c_last w) / count(c_last)
+      unigram:  ALPHA^(d+1) * count(w) / totalTokens
 
-    ``tokens``: (key, term, pos) stream (dedup.ws_tokens shape).  Bigram
-    counts come from one lead-window pass — the same aggregation any
-    n-gram LM build uses at corpus scale (one shuffle on the gram)."""
+    where d = number of backoff steps taken.  ``tokens``: (key, term, pos)
+    stream (dedup.ws_tokens shape); gram counts come from lead-window
+    passes (one shuffle per order)."""
     from pyspark.sql import Window
 
+    ctx = [c for c in context.split() if c]
     w = Window.partitionBy("key").orderBy("pos")
     bi = (tokens.withColumn("nxt", F.lead("term", 1).over(w))
           .where(F.col("nxt").isNotNull()))
-    big_counts = (bi.where(F.col("term") == context)
-                  .groupBy("nxt").agg(F.count("*").alias("c_bi")))
     uni = tokens.groupBy("term").agg(F.count("*").alias("c_uni"))
-    c_ctx_row = uni.where(F.col("term") == context).collect()
-    c_ctx = int(c_ctx_row[0]["c_uni"]) if c_ctx_row else 0
     total = tokens.count()
+    last = ctx[-1]
+    c_last_row = uni.where(F.col("term") == last).collect()
+    c_last = int(c_last_row[0]["c_uni"]) if c_last_row else 0
+
     backoff = uni.select(
         F.col("term").alias("word"),
-        (F.lit(float(alpha)) * F.col("c_uni") / F.lit(float(total)))
-        .alias("bscore"))
-    bigram = big_counts.select(
-        F.col("nxt").alias("word"),
-        (F.col("c_bi") / F.lit(float(c_ctx or 1))).alias("gscore"))
-    merged = (backoff.join(bigram, "word", "left")
-              .select("word",
-                      F.round(F.coalesce("gscore", "bscore"), 6)
-                      .alias("score")))
-    return merged.orderBy(F.desc("score"), F.asc("word")).limit(k)
+        (F.col("c_uni") / F.lit(float(total))).alias("u"))
+    bigram = (bi.where(F.col("term") == last)
+              .groupBy("nxt").agg(F.count("*").alias("c_bi"))
+              .select(F.col("nxt").alias("word"),
+                      (F.col("c_bi") / F.lit(float(c_last or 1)))
+                      .alias("b")))
+    merged = backoff.join(bigram, "word", "left")
+    if len(ctx) >= 2:
+        c1, c2 = ctx[-2], ctx[-1]
+        tri = (bi.withColumn("nxt2", F.lead("term", 2).over(w))
+               .where(F.col("nxt2").isNotNull()))
+        ctx_bi = tri.where((F.col("term") == c1)
+                           & (F.col("nxt") == c2))
+        n_ctx_bi = ctx_bi.count()
+        trigram = (ctx_bi.groupBy("nxt2").agg(F.count("*").alias("c_tri"))
+                   .select(F.col("nxt2").alias("word"),
+                           (F.col("c_tri") / F.lit(float(n_ctx_bi or 1)))
+                           .alias("t")))
+        merged = merged.join(trigram, "word", "left")
+        score = F.coalesce(
+            F.col("t"),
+            F.lit(alpha) * F.col("b"),
+            F.lit(alpha * alpha) * F.col("u"))
+    else:
+        score = F.coalesce(F.col("b"), F.lit(alpha) * F.col("u"))
+    out = merged.select("word", F.round(score, 6).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("word")).limit(k)
 
 
 def word_break_suggest(index: InvertedIndex, word: str,

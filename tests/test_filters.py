@@ -214,3 +214,29 @@ class TestFiltersEndToEnd:
         idx = build_index(df, num_segments=2, analyzer="english_folded")
         got = {r["key"] for r in search_or(idx, "café", k=10).collect()}
         assert got == {"d1", "d2"}
+
+
+class TestKeywordAndCommonGrams:
+    def test_keyword_marker_protects_from_stemming(self):
+        from lucene_solr_old_spark.functions.filters import (
+            keyword_marked_stem)
+
+        inp = toks(("running", 0), ("maine", 1))
+        out = keyword_marked_stem(inp, protected={"maine"})
+        assert [t.term for t in out] == ["run", "maine"]
+
+    def test_common_grams_index_mode(self):
+        from lucene_solr_old_spark.functions.filters import common_grams
+
+        inp = toks(("the", 0), ("quick", 1), ("fox", 2))
+        out = common_grams(inp, common_words={"the"})
+        assert [(t.term, t.pos) for t in out] == [
+            ("the", 0), ("the_quick", 0), ("quick", 1), ("fox", 2)]
+
+    def test_common_grams_query_mode(self):
+        from lucene_solr_old_spark.functions.filters import common_grams
+
+        inp = toks(("the", 0), ("quick", 1), ("fox", 2))
+        out = common_grams(inp, common_words={"the"}, query_mode=True)
+        assert [(t.term, t.pos) for t in out] == [
+            ("the_quick", 0), ("fox", 2)]

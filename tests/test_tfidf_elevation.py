@@ -146,3 +146,27 @@ def test_dfr_and_ib_rank_sensibly(idx):
         assert all(s > 0 for _, s in got)
         # d1 matches both terms: must rank above single-term docs
         assert keys[0] == "d1"
+
+
+def test_freetext_trigram_backoff(spark):
+    from lucene_solr_old_spark.operators.dedup import ws_tokens
+    from lucene_solr_old_spark.operators.spell import free_text_suggest
+
+    docs = spark.createDataFrame(
+        [(1, "new york city is big"),
+         (2, "new york city never sleeps"),
+         (3, "new york state of mind"),
+         (4, "york minster england")],
+        "doc_id INT, text STRING")
+    toks = ws_tokens(docs)
+    got = {r["word"]: float(r["score"])
+           for r in free_text_suggest(toks, "new york", k=5).collect()}
+    # trigram: count(new york city)=2 / count(new york)=3
+    assert got["city"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["state"] == pytest.approx(1 / 3, abs=1e-6)
+    # 'minster' never follows "new york": backs off to bigram york->minster
+    # = 0.4 * (1 / count(york)=4)
+    assert got["minster"] == pytest.approx(0.4 * 1 / 4, abs=1e-6)
+    # top suggestion is the trigram winner
+    top = max(got, key=got.get)
+    assert top == "city"
