@@ -401,6 +401,65 @@ def _q_group(spark, sf_dir):
             .orderBy("lang", "rnk"))
 
 
+@_reg("collapse_field", f"""WITH {_PRELUDE}, {_scored_cte(["spark", "join"])},
+h AS (
+  SELECT s.doc_id, round(s.s, 4) AS score, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(s.s, 4) DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING(doc_id)
+)
+SELECT doc_id, score, lang FROM h WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 10""")
+def _q_collapse(spark, sf_dir):
+    # CollapsingQParserPlugin: keep the best doc per lang group, rank the
+    # heads (scores pre-rounded so the group-head choice is deterministic
+    # under f64 sum-order noise — same policy as the top-k gates)
+    from .operators.facets import collapse_results
+
+    idx = doc_index(spark, sf_dir)
+    scored, _sc = S.term_score_frame(idx, ["spark", "join"],
+                                     precision="float64")
+    per_doc = scored.groupBy("seg", "docid").agg(F.sum("score").alias("s"))
+    hits = (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.round("s", 4).alias("score")))
+    dims = _docs(spark, sf_dir).select("doc_id", "lang")
+    return collapse_results(hits, dims, "lang", k=10, key_col="doc_id")
+
+
+@_reg("expand_groups", f"""WITH {_PRELUDE}, {_scored_cte(["spark", "join"])},
+h AS (
+  SELECT s.doc_id, round(s.s, 4) AS score, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(s.s, 4) DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING(doc_id)
+)
+SELECT lang, doc_id, score, (rn - 1)::INT AS rank
+FROM h WHERE rn BETWEEN 2 AND 3
+ORDER BY lang, rank""")
+def _q_expand(spark, sf_dir):
+    # ExpandComponent: the next members of each collapsed group
+    from .operators.facets import collapse_results, expand_groups
+
+    idx = doc_index(spark, sf_dir)
+    scored, _sc = S.term_score_frame(idx, ["spark", "join"],
+                                     precision="float64")
+    per_doc = scored.groupBy("seg", "docid").agg(F.sum("score").alias("s"))
+    hits = (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.round("s", 4).alias("score")))
+    dims = _docs(spark, sf_dir).select("doc_id", "lang")
+    heads = collapse_results(hits, dims, "lang", k=1 << 30,
+                             key_col="doc_id")
+    out = expand_groups(hits, dims, "lang", heads, rows_per_group=2,
+                        key_col="doc_id")
+    return (out.select("lang", "doc_id", "score",
+                       F.col("rank").cast("int").alias("rank"))
+            .orderBy("lang", "rank"))
+
+
 @_reg("sort_by_field", f"""WITH {_PRELUDE}
 SELECT m.doc_id, d.n_chars
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark') m

@@ -23,6 +23,7 @@ from .indexer import InvertedIndex
 from .search import term_score_frame
 
 __all__ = ["taxonomy_counts", "drill_down", "stats_percentiles",
+           "collapse_results", "expand_groups",
            "matching_docs", "facet_field", "facet_range", "facet_queries",
            "facet_pivot", "stats_agg", "group_topk"]
 
@@ -221,3 +222,45 @@ def stats_percentiles(result_docs: DataFrame, dims: DataFrame, field: str,
     if group_by:
         return joined.groupBy(group_by).agg(*aggs).orderBy(group_by)
     return joined.agg(*aggs)
+
+
+def collapse_results(scored_hits: DataFrame, dims: DataFrame,
+                     collapse_field: str, k: int = 10,
+                     key_col: str = "key") -> DataFrame:
+    """Field collapsing — Solr's CollapsingQParserPlugin
+    (``solr/core/.../search/CollapsingQParserPlugin.java``): the result
+    list keeps only the HIGHEST-SCORING doc per collapse-field group
+    (null group values pass through uncollapsed), then ranks those heads
+    normally.  Input: (key, score) hits; dims supplies the collapse field.
+    Returns top-k (key, score, <collapse_field>).
+
+    Plan: one window partitioned by the collapse value (the per-group PQ
+    the plugin keeps in its collector), then the global top-k cut."""
+    joined = scored_hits.join(dims.select(key_col, collapse_field), key_col)
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score"), F.asc(key_col))
+    heads = (joined.withColumn("_rn", F.row_number().over(w))
+             .where(F.col(collapse_field).isNull() | (F.col("_rn") == 1))
+             .drop("_rn"))
+    return (heads.orderBy(F.desc("score"), F.asc(key_col)).limit(k)
+            .select(key_col, "score", collapse_field))
+
+
+def expand_groups(scored_hits: DataFrame, dims: DataFrame,
+                  collapse_field: str, heads: DataFrame,
+                  rows_per_group: int = 5,
+                  key_col: str = "key") -> DataFrame:
+    """The ExpandComponent (``handler/component/ExpandComponent.java``):
+    for each collapsed head, the OTHER members of its group ranked by
+    score — the "see more like this group" section.  Returns
+    (<collapse_field>, key, score, rank)."""
+    joined = scored_hits.join(dims.select(key_col, collapse_field), key_col)
+    groups = heads.select(collapse_field,
+                          F.col(key_col).alias("_head_key")).distinct()
+    members = (joined.join(F.broadcast(groups), collapse_field)
+               .where(F.col(key_col) != F.col("_head_key")))
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score"), F.asc(key_col))
+    return (members.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= rows_per_group)
+            .select(collapse_field, key_col, "score", "rank"))
