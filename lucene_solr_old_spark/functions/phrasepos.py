@@ -41,6 +41,7 @@ import numpy as np
 __all__ = [
     "LucenePQ", "sloppy_phrase_freq", "span_near_ordered_matches",
     "span_near_unordered_matches", "span_or", "span_not", "span_first",
+    "span_position_range",
     "eval_span_tree", "span_freq",
 ]
 
@@ -480,7 +481,14 @@ def span_not(include, exclude):
 def span_first(spans, n: int):
     """``spans/SpanFirstQuery.java`` = SpanPositionRangeQuery(0, n):
     keep spans with ``end() <= n``."""
-    return [(s, e) for s, e in spans if e <= n]
+    return span_position_range(spans, 0, n)
+
+
+def span_position_range(spans, start: int, end: int):
+    """``spans/SpanPositionRangeQuery.java:58-62`` acceptPosition:
+    keep spans fully inside [start, end] (start() >= start AND
+    end() <= end)."""
+    return [(s, e) for s, e in spans if s >= start and e <= end]
 
 
 def eval_span_tree(node, term_intervals: dict):
@@ -488,7 +496,7 @@ def eval_span_tree(node, term_intervals: dict):
 
     node = ("term", t) | ("near", [children], slop, in_order)
          | ("or", [children]) | ("not", include, exclude)
-         | ("first", child, n)
+         | ("first", child, n) | ("posrange", child, start, end)
     ``term_intervals``: term -> sorted [(pos, pos+1), ...] for this doc.
     Returns the match interval list in emission order.
     """
@@ -508,6 +516,9 @@ def eval_span_tree(node, term_intervals: dict):
                         eval_span_tree(node[2], term_intervals))
     if kind == "first":
         return span_first(eval_span_tree(node[1], term_intervals), node[2])
+    if kind == "posrange":
+        return span_position_range(
+            eval_span_tree(node[1], term_intervals), node[2], node[3])
     raise ValueError(f"unknown span node {node[0]!r}")
 
 

@@ -48,7 +48,7 @@ def _tree_terms(node) -> list[str]:
         # ``SpanNotQuery.java extractTerms``) — but the exclude side's
         # postings are still needed for evaluation
         return _tree_terms(node[1])
-    if kind == "first":
+    if kind in ("first", "posrange"):
         return _tree_terms(node[1])
     raise ValueError(f"unknown span node {node[0]!r}")
 
@@ -59,7 +59,7 @@ def _eval_terms(node) -> list[str]:
         return _eval_terms(node[1]) + _eval_terms(node[2])
     if node[0] == "term":
         return [node[1]]
-    if node[0] == "first":
+    if node[0] in ("first", "posrange"):
         return _eval_terms(node[1])
     return [t for c in node[1] for t in _eval_terms(c)]
 
@@ -76,7 +76,7 @@ def _required_terms(node) -> set[str]:
         return set()  # any one suffices
     if kind == "not":
         return _required_terms(node[1])
-    if kind == "first":
+    if kind in ("first", "posrange"):
         return _required_terms(node[1])
     raise ValueError(f"unknown span node {node[0]!r}")
 

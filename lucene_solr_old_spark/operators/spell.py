@@ -36,7 +36,7 @@ from .indexer import InvertedIndex
 
 __all__ = ["spellcheck", "suggest_prefix", "term_range",
            "build_suggest_table", "analyzing_suggest", "fuzzy_suggest",
-           "free_text_suggest", "word_break_suggest",
+           "free_text_suggest", "word_break_suggest", "infix_suggest",
            "word_combine_suggest"]
 
 
@@ -249,3 +249,30 @@ def term_range(index: InvertedIndex, lower: str | None, upper: str | None,
         terms = terms.where(F.col("term") <= upper if include_upper
                             else F.col("term") < upper)
     return terms.orderBy("term").limit(limit)
+
+
+def infix_suggest(table: DataFrame, query: str, k: int = 10,
+                  analyzer: str = "english",
+                  highlight: bool = True) -> DataFrame:
+    """AnalyzingInfixSuggester (``suggest/analyzing/
+    AnalyzingInfixSuggester.java``): the analyzed query may match ANYWHERE
+    in the suggestion's analyzed key at a token boundary (the reference
+    indexes edge-grams of every token position); exact-prefix matches of
+    the whole key rank before infix matches, then weight desc.
+
+    Returns (surface, weight, prefix_match).  With ``highlight`` the
+    surface keeps its original text (the reference wraps the matched
+    region in <b>; here the match is on analyzed keys whose offsets don't
+    map 1:1 to the surface, so highlighting stays a caller concern —
+    documented divergence)."""
+    _ = highlight
+    qkey = _analyzed_key(query, analyzer)
+    cond = ((F.col("key") == qkey)
+            | F.col("key").startswith(qkey + " ")
+            | F.col("key").contains(" " + qkey))
+    is_prefix = (F.col("key") == qkey) | F.col("key").startswith(qkey)
+    return (table.where(cond)
+            .select("surface", "weight", is_prefix.alias("prefix_match"))
+            .orderBy(F.desc("prefix_match"), F.desc("weight"),
+                     F.asc("surface"))
+            .limit(k))

@@ -185,3 +185,16 @@ class TestSpanAlgebra:
         # freq = sum 1/(width+1)
         assert span_freq([(0, 2), (2, 6)], f32=False) == \
             pytest.approx(1.0 / 3.0 + 1.0 / 5.0)
+
+
+def test_span_position_range():
+    from lucene_solr_old_spark.functions.phrasepos import (
+        eval_span_tree, span_position_range)
+
+    spans = [(0, 1), (3, 4), (7, 8)]
+    assert span_position_range(spans, 2, 5) == [(3, 4)]
+    iv = intervals("aa bb aa cc aa")
+    # near(aa, cc) restricted to positions [2, 5]
+    tree = ("posrange", ("near", [("term", "aa"), ("term", "cc")], 0, True),
+            2, 4)
+    assert eval_span_tree(tree, iv) == [(2, 4)]

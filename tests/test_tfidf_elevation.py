@@ -170,3 +170,21 @@ def test_freetext_trigram_backoff(spark):
     # top suggestion is the trigram winner
     top = max(got, key=got.get)
     assert top == "city"
+
+
+def test_infix_suggest(spark):
+    from lucene_solr_old_spark.operators.spell import (build_suggest_table,
+                                                       infix_suggest)
+
+    surfaces = spark.createDataFrame(
+        [("Running Shoes", 100), ("Trail Running", 90),
+         ("Shoe Laces", 50), ("Rain Gear", 20)],
+        "surface STRING, weight LONG")
+    table = build_suggest_table(surfaces, analyzer="english").persist()
+    got = [(r["surface"], r["prefix_match"])
+           for r in infix_suggest(table, "running", k=5).collect()]
+    # prefix match ("Running Shoes" -> key "run shoe") outranks the infix
+    # match ("Trail Running" -> "trail run") despite... weights 100 vs 90
+    assert got == [("Running Shoes", True), ("Trail Running", False)]
+    got2 = [r["surface"] for r in infix_suggest(table, "shoes", k=5).collect()]
+    assert set(got2) == {"Running Shoes", "Shoe Laces"}
