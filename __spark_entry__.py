@@ -37,9 +37,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf_dir.rstrip("/"))
         return run
 
-    return {name: wrap(fn) for name, (fn, _sql) in gate.GATE.items()}
+    return {name: wrap(fn) for name, (fn, _sql) in gate.ordered_gate().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in gate.GATE.items()
+    return {name: sql for name, (_fn, sql) in gate.ordered_gate().items()
             if sql is not None}
