@@ -264,14 +264,26 @@ def _q_prefix(spark, sf_dir):
                        F.lit(1.0).alias("score"))
 
 
-@_reg("fuzzy_query", f"""WITH {_PRELUDE}
+@_reg("fuzzy_query", f"""WITH {_PRELUDE},
+-- TopTermsRewrite: keep the maxExpansions(=3 here, to make the cap bind)
+-- closest candidates, ranked (edit distance asc, term asc)
+cand AS (
+  SELECT term FROM dfreq
+  WHERE levenshtein(term, 'spork') <= 2
+  ORDER BY levenshtein(term, 'spork') ASC, term ASC
+  LIMIT 3
+)
 SELECT doc_id, count(DISTINCT term)::BIGINT AS nterms
-FROM tf WHERE levenshtein(term, 'spork') <= 1
+FROM tf JOIN cand USING(term)
 GROUP BY doc_id ORDER BY doc_id""")
 def _q_fuzzy(spark, sf_dir):
+    from .plans.query import FuzzyClause, _fuzzy_terms
+
     idx = doc_index(spark, sf_dir)
+    terms = _fuzzy_terms(
+        idx, FuzzyClause("spork", max_edits=2, max_expansions=3))
     matched = (idx.postings
-               .where(F.levenshtein(F.col("term"), F.lit("spork")) <= 1)
+               .where(F.col("term").isin(terms))
                .select("seg", F.col("term"),
                        F.explode("postings.docid").alias("docid")))
     per_doc = matched.groupBy("seg", "docid").agg(

@@ -65,6 +65,8 @@ class FuzzyClause:
     text: str
     max_edits: int = 2
     boost: float = 1.0
+    # FuzzyQuery.java:54-83 — defaultMaxExpansions = 50
+    max_expansions: int = 50
 
 
 @dataclass
@@ -152,9 +154,18 @@ def _range_pred(clause: RangeClause):
 
 
 def _fuzzy_terms(index: InvertedIndex, clause: FuzzyClause) -> list[str]:
+    """TopTermsRewrite expansion bound (``search/FuzzyQuery.java:54-83``
+    defaults maxExpansions=50; ``search/TopTermsRewrite.java`` keeps the
+    highest-boost = closest-distance candidates): rank dictionary candidates
+    by (edit distance asc, term asc) and keep at most ``max_expansions``.
+    The ranked cap is a TakeOrderedAndProject over the term dictionary —
+    ≤50 rows reach the driver regardless of dictionary size."""
     rows = (index.postings.select("term").distinct()
-            .where(F.levenshtein(F.col("term"), F.lit(clause.text))
-                   <= clause.max_edits)
+            .withColumn("dist",
+                        F.levenshtein(F.col("term"), F.lit(clause.text)))
+            .where(F.col("dist") <= clause.max_edits)
+            .orderBy(F.asc("dist"), F.asc("term"))
+            .limit(clause.max_expansions)
             .collect())
     return sorted(r["term"] for r in rows)
 
