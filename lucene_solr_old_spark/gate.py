@@ -2166,6 +2166,31 @@ def _q_drill_sideways(spark, sf_dir):
             .select("dim", "value", F.col("cnt").cast("long").alias("cnt")))
 
 
+# ---- Lucene RegExp query (round 3) ----------------------------------------
+
+from .plans.query import regexp_pred  # noqa: E402
+
+
+@_reg("regexp_query", f"""WITH {_PRELUDE}
+SELECT doc_id, count(DISTINCT term)::BIGINT AS nterms
+FROM tf WHERE regexp_full_match(term, 's(pa|to).*k')
+GROUP BY doc_id ORDER BY doc_id""")
+def _q_regexp(spark, sf_dir):
+    # Lucene RegExp syntax: '@' = anystring (util/automaton/RegExp.java);
+    # the engine translates it to an anchored JVM rlike over the dictionary
+    idx = doc_index(spark, sf_dir)
+    matched = (idx.postings
+               .where(regexp_pred("s(pa|to)@k"))
+               .select("seg", F.col("term"),
+                       F.explode("postings.docid").alias("docid")))
+    per_doc = matched.groupBy("seg", "docid").agg(
+        F.count_distinct("term").alias("nterms"))
+    return (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("nterms").cast("long").alias("nterms")))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -2193,8 +2218,8 @@ _PRIORITY: list[str] = [
     "postings_highlight",
     # -- green in r01 only; rotated out of the r02 window --
     "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
-    # -- implementation changed in round 3 (must re-certify) --
-    "fuzzy_query", "freetext_suggest",
+    # -- new in round 3 / implementation changed (must certify) --
+    "regexp_query", "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable --
     "term_query", "bool_or", "bool_and", "bool_must_not",
     "min_should_match", "dismax", "phrase_query", "wand_topk",
@@ -2202,7 +2227,7 @@ _PRIORITY: list[str] = [
     "dedup_exact", "dedup_minhash", "minhash_lsh_pairs",
     "ann_search", "embedding_cosine_topk",
     "langid", "doc_fingerprint", "spellcheck", "suggest_prefix",
-    "multimodal_meta", "more_like_this",
+    "multimodal_meta",
 ]
 
 

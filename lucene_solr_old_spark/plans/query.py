@@ -34,12 +34,15 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.regexp import matches as _re_matches
+from ..functions.regexp import parse_regexp, to_java_regex
 from ..functions.tokenizer import get_analyzer
 from ..operators import search as S
 from ..operators.indexer import InvertedIndex
 
 __all__ = ["TermClause", "PhraseClause", "WildcardClause", "FuzzyClause",
-           "RangeClause", "BoolQuery", "parse_query", "execute"]
+           "RangeClause", "RegexpClause", "BoolQuery", "parse_query",
+           "execute"]
 
 
 @dataclass
@@ -70,6 +73,16 @@ class FuzzyClause:
 
 
 @dataclass
+class RegexpClause:
+    """``search/RegexpQuery.java``: the pattern uses LUCENE RegExp syntax
+    (``util/automaton/RegExp.java`` — ``~`` complement, ``&`` intersection,
+    ``@`` anystring, ``<n-m>`` intervals), NOT Java regex.  Constant-score
+    multi-term rewrite like Wildcard."""
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
 class RangeClause:
     lower: str
     upper: str
@@ -89,6 +102,7 @@ class BoolQuery:
 _TOKEN_RE = re.compile(
     r'(?P<op>[+-])?'
     r'(?:"(?P<phrase>[^"]*)"'
+    r'|/(?P<regex>[^/]*)/'
     r'|(?P<lb>[\[{])(?P<lo>\S+) TO (?P<hi>\S+)(?P<rb>[\]}])'
     r'|(?P<term>[^\s^]+))'
     r"(?:\^(?P<boost>[0-9.]+))?")
@@ -107,6 +121,10 @@ def parse_query(q: str) -> BoolQuery:
         boost = float(m.group("boost") or 1.0)
         if m.group("phrase") is not None:
             clause = PhraseClause(m.group("phrase"), boost)
+        elif m.group("regex") is not None:
+            # /pattern/ — classic parser's RegexpQuery syntax; lowercased
+            # like wildcards (lowercase_expanded_terms default)
+            clause = RegexpClause(m.group("regex").lower(), boost)
         elif m.group("lo") is not None:
             clause = RangeClause(m.group("lo").lower(),
                                  m.group("hi").lower(),
@@ -145,6 +163,29 @@ def _wildcard_regex(pattern: str) -> str:
     return "^" + esc.replace(r"\*", ".*").replace(r"\?", ".") + "$"
 
 
+def regexp_pred(pattern: str):
+    """Term predicate for a Lucene-RegExp pattern.
+
+    Fast path: the pattern subset Java regex can express translates to an
+    anchored ``rlike`` (JVM-side, whole-stage codegen over the dictionary).
+    Full grammar (complement / intersection / non-fixed intervals):
+    evaluate exact language membership in an Arrow-batched pandas UDF —
+    still a dictionary-sized scan, never a doc scan.  Invalid syntax raises
+    RegexpSyntaxError instead of silently mis-parsing as Java regex."""
+    ast = parse_regexp(pattern)
+    jr = to_java_regex(ast)
+    if jr is not None:
+        return F.col("term").rlike(jr)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _m(terms):
+        return terms.map(lambda t: _re_matches(ast, t or ""))
+
+    return _m(F.col("term"))
+
+
 def _range_pred(clause: RangeClause):
     lo = (F.col("term") >= clause.lower if clause.include_lower
           else F.col("term") > clause.lower)
@@ -174,11 +215,14 @@ def _clause_frame(index: InvertedIndex, clause, clause_id: int,
                   precision: str):
     """-> frame(seg, docid, score, cid) | None."""
     stype = "double" if precision == "float64" else "float"
-    if isinstance(clause, (WildcardClause, RangeClause)):
+    if isinstance(clause, (WildcardClause, RangeClause, RegexpClause)):
         # constant-score multi-term rewrite: score = boost per matching doc
-        pred = (F.col("term").rlike(_wildcard_regex(clause.pattern))
-                if isinstance(clause, WildcardClause)
-                else _range_pred(clause))
+        if isinstance(clause, WildcardClause):
+            pred = F.col("term").rlike(_wildcard_regex(clause.pattern))
+        elif isinstance(clause, RegexpClause):
+            pred = regexp_pred(clause.pattern)
+        else:
+            pred = _range_pred(clause)
         docs = (index.postings.where(pred)
                 .select("seg", F.explode("postings.docid").alias("docid"))
                 .distinct())
@@ -252,6 +296,8 @@ def execute(index: InvertedIndex, query, k: int = 10,
     for clause in query.must_not:
         if isinstance(clause, WildcardClause):
             pred = F.col("term").rlike(_wildcard_regex(clause.pattern))
+        elif isinstance(clause, RegexpClause):
+            pred = regexp_pred(clause.pattern)
         elif isinstance(clause, RangeClause):
             pred = _range_pred(clause)
         elif isinstance(clause, FuzzyClause):

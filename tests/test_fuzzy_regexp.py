@@ -37,3 +37,66 @@ def test_top_terms_rewrite_cap_and_priority(fuzzy_index):
 def test_default_expansion_covers_all_when_under_cap(fuzzy_index):
     kept = _fuzzy_terms(fuzzy_index, FuzzyClause("dog", max_edits=1))
     assert len(kept) == 11 and kept[0] == "dog"
+
+
+# ---------------------------------------------------------------------------
+# Lucene RegExp (util/automaton/RegExp.java syntax)
+# ---------------------------------------------------------------------------
+
+from lucene_solr_old_spark.functions.regexp import (  # noqa: E402
+    RegexpSyntaxError, matches, parse_regexp, to_java_regex)
+
+
+class TestRegexpLanguage:
+    def test_core_operators(self):
+        assert matches("ab*c", "ac") and matches("ab*c", "abbbc")
+        assert not matches("ab+c", "ac")
+        assert matches("a|bc", "bc") and not matches("a|bc", "ab")
+        assert matches("[a-c]x", "bx") and not matches("[^a-c]x", "bx")
+        assert matches("a{2,3}", "aaa") and not matches("a{2,3}", "aaaa")
+
+    def test_lucene_specific_operators(self):
+        # @ anystring, ~ complement, & intersection, # empty language
+        assert matches("sp@", "spark") and not matches("sp@", "s")
+        assert matches("~(abc)", "abd") and not matches("~(abc)", "abc")
+        assert matches("[a-z]+&~(spark)", "spork")
+        assert not matches("[a-z]+&~(spark)", "spark")
+        assert not matches("#", "") and matches("#|x", "x")
+        assert matches('"a|b"', "a|b") and not matches('"a|b"', "a")
+
+    def test_decimal_intervals(self):
+        assert matches("<1-100>", "42") and not matches("<1-100>", "101")
+        assert matches("<1-100>", "042")        # non-fixed: leading zeros ok
+        assert matches("<01-12>", "07") and not matches("<01-12>", "7")
+
+    def test_invalid_syntax_raises(self):
+        for bad in ["(a", "a)", "[a", "a{3,2}", '"open', "<1-", "*a"]:
+            try:
+                parse_regexp(bad)
+                assert False, f"no error for {bad!r}"
+            except RegexpSyntaxError:
+                pass
+
+    def test_java_translation_fast_path(self):
+        assert to_java_regex("sp@") == "^(?:sp.*)$"
+        assert to_java_regex("~x") is None          # complement -> NFA path
+        assert to_java_regex("a&b") is None
+        assert to_java_regex("<01-12>") is not None  # small fixed interval
+
+
+class TestRegexpClause:
+    def test_classic_parser_slash_syntax(self, fuzzy_index):
+        from lucene_solr_old_spark.plans.query import (
+            RegexpClause, execute, parse_query)
+
+        q = parse_query("/dog[a-c]/")
+        assert isinstance(q.should[0], RegexpClause)
+        hits = execute(fuzzy_index, q, k=10).collect()
+        assert len(hits) == 3  # doga, dogb, dogc docs
+
+    def test_nfa_fallback_complement(self, fuzzy_index):
+        from lucene_solr_old_spark.plans.query import execute
+
+        # all dog-family terms EXCEPT the bare "dog" (complement needs NFA)
+        hits = execute(fuzzy_index, "/dog[a-z]*&~(dog)/", k=20).collect()
+        assert len(hits) == 10
