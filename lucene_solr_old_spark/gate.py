@@ -1055,9 +1055,11 @@ ORDER BY coalesce(big.c_bi / (SELECT c FROM cctx),
                   0.4::DOUBLE * u.c / (SELECT t FROM tot)) DESC, word
 LIMIT 10""")
 def _q_freetext(spark, sf_dir):
-    # FreeTextSuggester: bigram LM with stupid backoff (ALPHA=0.4)
+    # FreeTextSuggester: bigram LM with stupid backoff (ALPHA=0.4);
+    # gram counts come from the precomputed table (the FST-build analogue)
     toks = D.ws_tokens(_docs(spark, sf_dir))
-    return SP.free_text_suggest(toks, "spark", k=10)
+    table = SP.build_freetext_table(toks)
+    return SP.free_text_suggest(table, "spark", k=10)
 
 
 @_reg("word_break", f"""WITH {_PRELUDE},

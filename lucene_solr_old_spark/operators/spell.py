@@ -36,8 +36,8 @@ from .indexer import InvertedIndex
 
 __all__ = ["spellcheck", "suggest_prefix", "term_range",
            "build_suggest_table", "analyzing_suggest", "fuzzy_suggest",
-           "free_text_suggest", "word_break_suggest", "infix_suggest",
-           "word_combine_suggest"]
+           "build_freetext_table", "free_text_suggest",
+           "word_break_suggest", "infix_suggest", "word_combine_suggest"]
 
 
 def _global_terms(index: InvertedIndex) -> DataFrame:
@@ -136,7 +136,44 @@ def fuzzy_suggest(table: DataFrame, query: str, k: int = 10,
             .limit(k))
 
 
-def free_text_suggest(tokens: DataFrame, context: str, k: int = 10,
+def build_freetext_table(tokens: DataFrame) -> DataFrame:
+    """The FreeTextSuggester build step (``suggest/analyzing/
+    FreeTextSuggester.java:129-189`` — the FST of 1/2/3-gram counts):
+    materialize uni/bi/tri-gram counts from a (key, term, pos) token stream
+    into ONE frame ``(ord, w1, w2, w3, cnt)`` (w2/w3 null below the gram
+    order).
+
+    Built once per corpus — one window pass + three map-side-combinable
+    aggregations — then every suggestion is a filter + broadcast-join on
+    this table (no per-call corpus jobs).  At scale the table is tiny
+    relative to the corpus (vocabulary-sized) and parquet-prunes on
+    (ord, w1)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("pos")
+    g = (tokens.withColumn("w2", F.lead("term", 1).over(w))
+         .withColumn("w3", F.lead("term", 2).over(w)))
+    uni = (g.groupBy(F.col("term").alias("w1"))
+           .agg(F.count("*").alias("cnt"))
+           .select(F.lit(1).alias("ord"), "w1",
+                   F.lit(None).cast("string").alias("w2"),
+                   F.lit(None).cast("string").alias("w3"), "cnt"))
+    bi = (g.where(F.col("w2").isNotNull())
+          .groupBy(F.col("term").alias("w1"), "w2")
+          .agg(F.count("*").alias("cnt"))
+          .select(F.lit(2).alias("ord"), "w1", "w2",
+                  F.lit(None).cast("string").alias("w3"), "cnt"))
+    tri = (g.where(F.col("w3").isNotNull())
+           .groupBy(F.col("term").alias("w1"), "w2", "w3")
+           .agg(F.count("*").alias("cnt"))
+           .select(F.lit(3).alias("ord"), "w1", "w2", "w3", "cnt"))
+    return uni.unionByName(bi).unionByName(tri)
+
+
+_FREETEXT_COLS = {"ord", "w1", "w2", "w3", "cnt"}
+
+
+def free_text_suggest(tokens_or_table: DataFrame, context: str, k: int = 10,
                       alpha: float = 0.4) -> DataFrame:
     """(word, score): next-word prediction after ``context`` (one or two
     words), stupid-backoff chain (``FreeTextSuggester`` ALPHA=0.4,
@@ -146,48 +183,55 @@ def free_text_suggest(tokens: DataFrame, context: str, k: int = 10,
       bigram:   ALPHA^d * count(c_last w) / count(c_last)
       unigram:  ALPHA^(d+1) * count(w) / totalTokens
 
-    where d = number of backoff steps taken.  ``tokens``: (key, term, pos)
-    stream (dedup.ws_tokens shape); gram counts come from lead-window
-    passes (one shuffle per order)."""
-    from pyspark.sql import Window
+    where d = number of backoff steps taken.
+
+    Accepts either a prebuilt :func:`build_freetext_table` frame (the
+    production path — persist it and every suggestion is a pure
+    filter+join, zero corpus jobs) or a raw (key, term, pos) token stream
+    (compat: the table is derived inline).  The whole plan is lazy — no
+    count()/collect() on the driver; the scalar denominators ride along as
+    broadcast 1-row aggregates."""
+    table = (tokens_or_table
+             if _FREETEXT_COLS.issubset(set(tokens_or_table.columns))
+             else build_freetext_table(tokens_or_table))
 
     ctx = [c for c in context.split() if c]
-    w = Window.partitionBy("key").orderBy("pos")
-    bi = (tokens.withColumn("nxt", F.lead("term", 1).over(w))
-          .where(F.col("nxt").isNotNull()))
-    uni = tokens.groupBy("term").agg(F.count("*").alias("c_uni"))
-    total = tokens.count()
     last = ctx[-1]
-    c_last_row = uni.where(F.col("term") == last).collect()
-    c_last = int(c_last_row[0]["c_uni"]) if c_last_row else 0
-
-    backoff = uni.select(
-        F.col("term").alias("word"),
-        (F.col("c_uni") / F.lit(float(total))).alias("u"))
-    bigram = (bi.where(F.col("term") == last)
-              .groupBy("nxt").agg(F.count("*").alias("c_bi"))
-              .select(F.col("nxt").alias("word"),
-                      (F.col("c_bi") / F.lit(float(c_last or 1)))
-                      .alias("b")))
-    merged = backoff.join(bigram, "word", "left")
+    uni = table.where(F.col("ord") == 1)
+    # 1-row broadcast scalars: total token count and count(last);
+    # greatest(..,1) mirrors the reference's guard against a zero count
+    total = uni.agg(F.sum("cnt").cast("double").alias("t"))
+    c_last = (uni.where(F.col("w1") == last)
+              .agg(F.greatest(F.coalesce(F.sum("cnt"), F.lit(0)), F.lit(1))
+                   .cast("double").alias("cl")))
+    backoff = (uni.select(F.col("w1").alias("word"),
+                          F.col("cnt").cast("double").alias("c_uni"))
+               .crossJoin(F.broadcast(total))
+               .crossJoin(F.broadcast(c_last)))
+    bigram = (table.where((F.col("ord") == 2) & (F.col("w1") == last))
+              .select(F.col("w2").alias("word"),
+                      F.col("cnt").cast("double").alias("c_bi")))
+    merged = backoff.join(F.broadcast(bigram), "word", "left")
+    u = F.col("c_uni") / F.col("t")
+    b = F.col("c_bi") / F.col("cl")
     if len(ctx) >= 2:
         c1, c2 = ctx[-2], ctx[-1]
-        tri = (bi.withColumn("nxt2", F.lead("term", 2).over(w))
-               .where(F.col("nxt2").isNotNull()))
-        ctx_bi = tri.where((F.col("term") == c1)
-                           & (F.col("nxt") == c2))
-        n_ctx_bi = ctx_bi.count()
-        trigram = (ctx_bi.groupBy("nxt2").agg(F.count("*").alias("c_tri"))
-                   .select(F.col("nxt2").alias("word"),
-                           (F.col("c_tri") / F.lit(float(n_ctx_bi or 1)))
-                           .alias("t")))
-        merged = merged.join(trigram, "word", "left")
-        score = F.coalesce(
-            F.col("t"),
-            F.lit(alpha) * F.col("b"),
-            F.lit(alpha * alpha) * F.col("u"))
+        n_ctx_bi = (table.where((F.col("ord") == 2) & (F.col("w1") == c1)
+                                & (F.col("w2") == c2))
+                    .agg(F.greatest(F.coalesce(F.sum("cnt"), F.lit(0)),
+                                    F.lit(1))
+                         .cast("double").alias("cb")))
+        trigram = (table.where((F.col("ord") == 3) & (F.col("w1") == c1)
+                               & (F.col("w2") == c2))
+                   .select(F.col("w3").alias("word"),
+                           F.col("cnt").cast("double").alias("c_tri")))
+        merged = (merged.join(F.broadcast(trigram), "word", "left")
+                  .crossJoin(F.broadcast(n_ctx_bi)))
+        score = F.coalesce(F.col("c_tri") / F.col("cb"),
+                           F.lit(alpha) * b,
+                           F.lit(alpha * alpha) * u)
     else:
-        score = F.coalesce(F.col("b"), F.lit(alpha) * F.col("u"))
+        score = F.coalesce(b, F.lit(alpha) * u)
     out = merged.select("word", F.round(score, 6).alias("score"))
     return out.orderBy(F.desc("score"), F.asc("word")).limit(k)
 

@@ -188,3 +188,33 @@ def test_infix_suggest(spark):
     assert got == [("Running Shoes", True), ("Trail Running", False)]
     got2 = [r["surface"] for r in infix_suggest(table, "shoes", k=5).collect()]
     assert set(got2) == {"Running Shoes", "Shoe Laces"}
+
+
+def test_freetext_table_path_matches_and_has_no_corpus_pass(spark):
+    """Suggesting from a prebuilt build_freetext_table frame gives the
+    same scores as the token-stream path, and its plan contains no Window
+    (no per-call corpus gram pass — VERDICT r02 weak item)."""
+    from lucene_solr_old_spark.operators.dedup import ws_tokens
+    from lucene_solr_old_spark.operators.spell import (
+        build_freetext_table, free_text_suggest)
+
+    docs = spark.createDataFrame(
+        [(1, "new york city is big"),
+         (2, "new york city never sleeps"),
+         (3, "new york state of mind"),
+         (4, "york minster england")],
+        "doc_id INT, text STRING")
+    toks = ws_tokens(docs)
+    table = build_freetext_table(toks)
+    table = spark.createDataFrame(table.collect(), table.schema)  # frozen
+
+    for ctx in ("new york", "york"):
+        a = [(r["word"], float(r["score"]))
+             for r in free_text_suggest(toks, ctx, k=5).collect()]
+        b = [(r["word"], float(r["score"]))
+             for r in free_text_suggest(table, ctx, k=5).collect()]
+        assert a == b
+
+    plan = free_text_suggest(
+        table, "new york", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
