@@ -1,0 +1,247 @@
+"""Language packs beyond the Porter English chain.
+
+  * :func:`english_minimal_stem` — ``en/EnglishMinimalStemmer.java``
+    (Harman's S-Stemmer, "How Effective Is Suffixing?"): plural-only.
+  * :func:`kstem` (re-export) — ``en/KStemFilter.java`` semantics via
+    functions/kstem.py.
+  * French: :func:`elide` (``util/ElisionFilter.java:51-74`` with
+    ``fr/FrenchAnalyzer.java:60-62`` DEFAULT_ARTICLES),
+    :func:`french_light_stem` (``fr/FrenchLightStemmer.java`` — Savoy's
+    light stemmer, "Light Stemming Approaches for the French, Portuguese,
+    German and Hungarian Languages", SAC'06), and the snowball French
+    stopword set (``analysis/snowball/french_stop.txt`` — public snowball
+    data).
+
+Analyzer chains registered on import (ANALYZERS registry):
+
+  * ``english_kstem``   Standard -> possessive -> lowercase -> stop -> KStem
+  * ``english_minimal`` Standard -> possessive -> lowercase -> stop -> S-stem
+  * ``french``          Standard -> elision -> lowercase -> french stop ->
+                        FrenchLightStem  (``FrenchAnalyzer.createComponents``
+                        :139-148 minus keyword-marker)
+"""
+
+from __future__ import annotations
+
+from .kstem import kstem
+from .stopwords import ENGLISH_STOP_WORDS
+from .tokenizer import Token, _POSSESSIVE_RE, standard_tokenize
+
+__all__ = ["english_minimal_stem", "kstem", "elide", "french_light_stem",
+           "FRENCH_STOP_WORDS", "FRENCH_ARTICLES",
+           "english_kstem_analyze", "english_minimal_analyze",
+           "french_analyze"]
+
+
+def english_minimal_stem(s: str) -> str:
+    """Harman S-Stemmer (EnglishMinimalStemmer.java:28-46), exact."""
+    n = len(s)
+    if n < 3 or s[-1] != "s":
+        return s
+    p = s[-2]
+    if p in ("u", "s"):
+        return s
+    if p == "e":
+        if n > 3 and s[-3] == "i" and s[-4] not in ("a", "e"):
+            return s[: n - 3] + "y"            # -ies -> -y
+        if s[-3] in ("i", "a", "o", "e"):
+            return s                            # -Ves: keep
+        return s[:-1]                           # (fallthrough) drop -s
+    return s[:-1]
+
+
+# -- French ------------------------------------------------------------------
+
+FRENCH_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu"])
+
+FRENCH_STOP_WORDS = frozenset("""
+au aux avec ce ces dans de des du elle en et eux il je la le leur lui ma
+mais me même mes moi mon ne nos notre nous on ou par pas pour qu que qui
+sa se ses son sur ta te tes toi ton tu un une vos votre vous c d j l à m
+n s t y été étée étées étés étant suis es est sommes êtes sont serai seras
+sera serons serez seront serais serait serions seriez seraient étais était
+étions étiez étaient fus fut fûmes fûtes furent sois soit soyons soyez
+soient fusse fusses fût fussions fussiez fussent ayant eu eue eues eus ai
+as avons avez ont aurai auras aura aurons aurez auront aurais aurait
+aurions auriez auraient avais avait avions aviez avaient eut eûmes eûtes
+eurent aie aies ait ayons ayez aient eusse eusses eût eussions eussiez
+eussent ceci cela celà cet cette ici ils les leurs quel quels quelle
+quelles sans soi
+""".split())
+
+
+def elide(term: str, articles: frozenset = FRENCH_ARTICLES) -> str:
+    """Strip an elided article prefix: the chars before the FIRST apostrophe
+    (' or U+2019), if they form an article (case-insensitive), go — along
+    with the apostrophe (ElisionFilter.incrementToken :51-74)."""
+    for i, ch in enumerate(term):
+        if ch == "'" or ch == "’":
+            if term[:i].lower() in articles:
+                return term[i + 1:]
+            return term
+    return term
+
+
+_FR_ACCENT = str.maketrans("àáâôèéêùûîç", "aaaoeeeuuic")
+
+
+def _fr_norm(s: str) -> str:
+    """FrenchLightStemmer.norm (:160-199)."""
+    if len(s) > 4:
+        s = s.translate(_FR_ACCENT)
+        # collapse any run of a repeated letter to one occurrence
+        out = [s[0]]
+        for c in s[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        s = "".join(out)
+    if len(s) > 4 and s.endswith("ie"):
+        s = s[:-2]
+    if len(s) > 4:
+        if s[-1] == "r":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return s
+
+
+def french_light_stem(s: str) -> str:
+    """FrenchLightStemmer.stem (:41-158), exact control-flow port."""
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u" and s[-4] != "e":
+            s = s[:-2] + "l" + s[-1]           # -aux -> -al (chevaux/cheval)
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+    if len(s) > 9 and s.endswith("issement"):
+        return _fr_norm(s[:-6][:-1] + "r")
+    if len(s) > 8 and s.endswith("issant"):
+        return _fr_norm(s[:-4][:-1] + "r")
+    if len(s) > 6 and s.endswith("ement"):
+        s = s[:-4]
+        if len(s) > 3 and s.endswith("ive"):
+            s = s[:-1]
+            s = s[:-1] + "f"
+        return _fr_norm(s)
+    if len(s) > 11 and s.endswith("ficatrice"):
+        s = s[:-5]
+        return _fr_norm(s[:-2] + "er")
+    if len(s) > 10 and s.endswith("ficateur"):
+        s = s[:-4]
+        return _fr_norm(s[:-2] + "er")
+    if len(s) > 9 and s.endswith("catrice"):
+        s = s[:-3]
+        return _fr_norm(s[:-4] + "que" + s[-1])
+    if len(s) > 8 and s.endswith("cateur"):
+        s = s[:-2]
+        return _fr_norm(s[:-4] + "quer")
+    if len(s) > 8 and s.endswith("atrice"):
+        s = s[:-4]
+        return _fr_norm(s[:-2] + "er")
+    if len(s) > 7 and s.endswith("ateur"):
+        s = s[:-3]
+        return _fr_norm(s[:-2] + "er")
+    if len(s) > 6 and s.endswith("trice"):
+        s = s[:-1]
+        s = s[:-3] + "eur"                     # no return (falls through)
+    if len(s) > 5 and s.endswith("ième"):
+        return _fr_norm(s[:-4])
+    if len(s) > 7 and s.endswith("teuse"):
+        s = s[:-2]
+        return _fr_norm(s[:-1] + "r")
+    if len(s) > 6 and s.endswith("teur"):
+        s = s[:-1]
+        return _fr_norm(s[:-1] + "r")
+    if len(s) > 5 and s.endswith("euse"):
+        return _fr_norm(s[:-2])
+    if len(s) > 8 and s.endswith("ère"):
+        s = s[:-1]
+        return _fr_norm(s[:-2] + "e" + s[-1])
+    if len(s) > 7 and s.endswith("ive"):
+        s = s[:-1]
+        return _fr_norm(s[:-1] + "f")
+    if len(s) > 4 and (s.endswith("folle") or s.endswith("molle")):
+        s = s[:-2]
+        return _fr_norm(s[:-1] + "u")
+    if len(s) > 9 and s.endswith("nnelle"):
+        return _fr_norm(s[:-5])
+    if len(s) > 9 and s.endswith("nnel"):
+        return _fr_norm(s[:-3])
+    if len(s) > 4 and s.endswith("ète"):
+        s = s[:-1]
+        s = s[:-2] + "e" + s[-1]               # no return
+    if len(s) > 8 and s.endswith("ique"):
+        s = s[:-4]                             # no return
+    if len(s) > 8 and s.endswith("esse"):
+        return _fr_norm(s[:-3])
+    if len(s) > 7 and s.endswith("inage"):
+        return _fr_norm(s[:-3])
+    if len(s) > 9 and s.endswith("isation"):
+        s = s[:-7]
+        if len(s) > 5 and s.endswith("ual"):
+            s = s[:-2] + "e" + s[-1]
+        return _fr_norm(s)
+    if len(s) > 9 and s.endswith("isateur"):
+        return _fr_norm(s[:-7])
+    if len(s) > 8 and s.endswith("ation"):
+        return _fr_norm(s[:-5])
+    if len(s) > 8 and s.endswith("ition"):
+        return _fr_norm(s[:-5])
+    return _fr_norm(s)
+
+
+# -- analyzer chains ----------------------------------------------------------
+
+def english_kstem_analyze(text: str) -> list[Token]:
+    """Standard -> possessive -> lowercase -> stop -> KStem (the Solr
+    ``text_en`` variant that swaps PorterStemFilter for KStemFilter)."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = _POSSESSIVE_RE.sub("", term).lower()
+        if t in ENGLISH_STOP_WORDS:
+            continue
+        out.append(Token(kstem(t), pos, start, end))
+    return out
+
+
+def english_minimal_analyze(text: str) -> list[Token]:
+    """Standard -> possessive -> lowercase -> stop -> S-stemmer."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = _POSSESSIVE_RE.sub("", term).lower()
+        if t in ENGLISH_STOP_WORDS:
+            continue
+        out.append(Token(english_minimal_stem(t), pos, start, end))
+    return out
+
+
+def french_analyze(text: str) -> list[Token]:
+    """FrenchAnalyzer.createComponents (:139-148): Standard -> Elision ->
+    LowerCase -> Stop(french) -> FrenchLightStem (positions keep holes)."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = elide(term).lower()
+        if not t or t in FRENCH_STOP_WORDS:
+            continue
+        out.append(Token(french_light_stem(t), pos, start, end))
+    return out
+
+
+def _register():
+    from .tokenizer import register_analyzer
+
+    register_analyzer("english_kstem", english_kstem_analyze)
+    register_analyzer("english_minimal", english_minimal_analyze)
+    register_analyzer("french", french_analyze)
+
+
+_register()

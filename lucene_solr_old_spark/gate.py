@@ -2193,6 +2193,113 @@ def _q_regexp(spark, sf_dir):
                     F.col("nterms").cast("long").alias("nterms")))
 
 
+# ---- language packs: KStem + French (round 3) -------------------------------
+
+from .functions import lang as _lang  # noqa: E402  (registers analyzers)
+
+# The fixed 31-word corpus vocabulary has no inflected forms, so each
+# language gate derives them deterministically on BOTH sides: the Spark
+# side regexp-replaces the text column, the oracle applies the same
+# replacement in SQL and emulates the stemmer with an exact token mapping
+# (single-term BM25 only needs the query term's tf/df; doclen/avgdl are
+# stemming-invariant).
+
+_KSTEM_SQL = _topk_sql(["merge"]).replace(
+    "lower(text)",
+    r"regexp_replace(lower(text), '\bmerge\b', 'merging', 'g')",
+).replace(
+    "tok AS (SELECT * FROM raw WHERE term NOT IN",
+    "tok AS (SELECT doc_id, CASE WHEN term = 'merging' THEN 'merge' "
+    "ELSE term END AS term, pos FROM raw WHERE term NOT IN",
+)
+assert "merging" in _KSTEM_SQL  # both surgeries must have applied
+assert "CASE WHEN term" in _KSTEM_SQL
+
+
+@_reg("kstem_search", _KSTEM_SQL)
+def _q_kstem(spark, sf_dir):
+    # english_kstem chain: standard -> possessive -> lower -> stop -> KStem
+    # ("merging" kstems back to "merge" via the aspect rule + lexicon)
+    cache_key = (id(spark), f"{sf_dir}::kstem")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.regexp_replace("text", r"\bmerge\b", "merging").alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="english_kstem").persist()
+    return _stable_topk(S.search_or(_INDEX_CACHE[cache_key], "merge",
+                                    k=40, precision="float64"))
+
+
+_CORPUS_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _french_sql() -> str:
+    from .functions.lang import FRENCH_STOP_WORDS, french_light_stem
+
+    fr_stop = ",".join(f"'{w}'" for w in sorted(FRENCH_STOP_WORDS))
+    vocab = _CORPUS_VOCAB + ["étape"]
+    fmap = ",".join(f"('{w}','{french_light_stem(w)}')" for w in vocab)
+    elision = ("regexp_replace(term, '^(l|m|t|qu|n|s|j|d|c|jusqu|quoiqu"
+               "|lorsqu|puisqu)[''’]', '')")
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 5 = 0
+                                       THEN ' l''étape' ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)
+),
+el AS (SELECT doc_id, {elision} AS term FROM raw),
+fmap(w, stem) AS (VALUES {fmap}),
+tok AS (SELECT el.doc_id, coalesce(f.stem, el.term) AS term
+        FROM el LEFT JOIN fmap f ON f.w = el.term
+        WHERE el.term NOT IN ({fr_stop})),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    terms = [french_light_stem(w) for w in ["table", "étape"]]
+    return f"""WITH {prelude}, {_scored_cte(terms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("french_search", _french_sql())
+def _q_french(spark, sf_dir):
+    # FrenchAnalyzer chain: standard -> elision -> lower -> french stop ->
+    # FrenchLightStem; every 5th doc gains "l'étape" (elision + accent fold)
+    cache_key = (id(spark), f"{sf_dir}::french")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" l'étape"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="french").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "table l'étape",
+                    k=40, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -2221,15 +2328,15 @@ _PRIORITY: list[str] = [
     # -- green in r01 only; rotated out of the r02 window --
     "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
     # -- new in round 3 / implementation changed (must certify) --
-    "regexp_query", "fuzzy_query", "freetext_suggest",
+    "regexp_query", "kstem_search", "french_search",
+    "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable --
     "term_query", "bool_or", "bool_and", "bool_must_not",
     "min_should_match", "dismax", "phrase_query", "wand_topk",
     "prefix_query", "range_query",
     "dedup_exact", "dedup_minhash", "minhash_lsh_pairs",
     "ann_search", "embedding_cosine_topk",
-    "langid", "doc_fingerprint", "spellcheck", "suggest_prefix",
-    "multimodal_meta",
+    "langid", "doc_fingerprint", "multimodal_meta",
 ]
 
 

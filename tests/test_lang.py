@@ -1,0 +1,156 @@
+"""Language packs: KStem, EnglishMinimalStem, French (elision + light stem).
+
+Golden fixtures for the French light stemmer and the S-stemmer come from
+the reference's own tests (``analysis/common/src/test/.../fr/
+TestFrenchLightStemFilter.java`` testExamples, ``en/
+TestEnglishMinimalStemFilter.java``); KStem cases are hand-traced through
+``en/KStemmer.java`` with an explicit lexicon so expectations are fully
+determined (the reference's bulk kstemTestData depends on the KStemData
+lexicon we deliberately do not ship — see functions/kstem.py docstring).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_old_spark.functions.kstem import DEFAULT_LEXICON, KStemmer, kstem
+from lucene_solr_old_spark.functions.lang import (
+    FRENCH_STOP_WORDS, elide, english_minimal_stem, french_analyze,
+    french_light_stem)
+
+FRENCH_GOLDEN = [
+    # TestFrenchLightStemFilter.testExamples — all 77 pairs
+    ("chevaux", "cheval"), ("cheval", "cheval"),
+    ("hiboux", "hibou"), ("hibou", "hibou"),
+    ("chantés", "chant"), ("chanter", "chant"), ("chante", "chant"),
+    ("chant", "chant"),
+    ("baronnes", "baron"), ("barons", "baron"), ("baron", "baron"),
+    ("peaux", "peau"), ("peau", "peau"),
+    ("anneaux", "aneau"), ("anneau", "aneau"),
+    ("neveux", "neveu"), ("neveu", "neveu"),
+    ("affreux", "afreu"), ("affreuse", "afreu"),
+    ("investissement", "investi"), ("investir", "investi"),
+    ("assourdissant", "asourdi"), ("assourdir", "asourdi"),
+    ("pratiquement", "pratiqu"), ("pratique", "pratiqu"),
+    ("administrativement", "administratif"),
+    ("administratif", "administratif"),
+    ("justificatrice", "justifi"), ("justificateur", "justifi"),
+    ("justifier", "justifi"),
+    ("educatrice", "eduqu"), ("eduquer", "eduqu"),
+    ("communicateur", "comuniqu"), ("communiquer", "comuniqu"),
+    ("accompagnatrice", "acompagn"), ("accompagnateur", "acompagn"),
+    ("administrateur", "administr"), ("administrer", "administr"),
+    ("productrice", "product"), ("producteur", "product"),
+    ("acheteuse", "achet"), ("acheteur", "achet"),
+    ("planteur", "plant"), ("plante", "plant"),
+    ("poreuse", "poreu"), ("poreux", "poreu"), ("plieuse", "plieu"),
+    ("bijoutière", "bijouti"), ("bijoutier", "bijouti"),
+    ("caissière", "caisi"), ("caissier", "caisi"),
+    ("abrasive", "abrasif"), ("abrasif", "abrasif"),
+    ("folle", "fou"), ("fou", "fou"),
+    ("personnelle", "person"), ("personne", "person"),
+    ("complète", "complet"), ("complet", "complet"),
+    ("aromatique", "aromat"),
+    ("faiblesse", "faibl"), ("faible", "faibl"),
+    ("patinage", "patin"), ("patin", "patin"),
+    ("sonorisation", "sono"),
+    ("ritualisation", "rituel"), ("rituel", "rituel"),
+    ("nomination", "nomin"),
+    ("disposition", "dispos"), ("dispose", "dispos"),
+    ("1234555", "1234555"), ("12333345", "12333345"), ("1234", "1234"),
+    ("abcdeff", "abcdef"), ("abcccddeef", "abcdef"),
+    ("créées", "cre"), ("22hh00", "22h00"),
+]
+
+
+@pytest.mark.parametrize("word,stem", FRENCH_GOLDEN)
+def test_french_light_stem_golden(word, stem):
+    assert french_light_stem(word) == stem
+
+
+ENGLISH_MINIMAL_GOLDEN = [
+    # TestEnglishMinimalStemFilter
+    ("queries", "query"), ("phrases", "phrase"), ("corpus", "corpus"),
+    ("stress", "stress"), ("kings", "king"), ("panels", "panel"),
+    ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+    ("serious", "serious"), ("", ""),
+]
+
+
+@pytest.mark.parametrize("word,stem", ENGLISH_MINIMAL_GOLDEN)
+def test_english_minimal_golden(word, stem):
+    assert english_minimal_stem(word) == stem
+
+
+class TestElision:
+    def test_articles_stripped(self):
+        assert elide("l'avion") == "avion"
+        assert elide("qu’il") == "il"
+        assert elide("d'une") == "une"
+        assert elide("L'avion") == "avion"       # case-insensitive article
+
+    def test_non_article_prefix_kept(self):
+        assert elide("xyz'abc") == "xyz'abc"
+        assert elide("avion") == "avion"
+
+
+class TestKStem:
+    """Hand-traced through KStemmer.java with an explicit lexicon."""
+
+    LEX = {"calorie", "define", "eliminate", "amplify", "carry", "happy",
+           "run", "merge", "bath", "fly", "engine", "oppose", "resign",
+           "injunction", "optimum", "military", "compensate", "immune",
+           "index"}
+
+    @pytest.fixture(scope="class")
+    def ks(self):
+        return KStemmer(lexicon=self.LEX)
+
+    @pytest.mark.parametrize("word,stem", [
+        ("calories", "calorie"),      # plural -ies -> dictionary hit
+        ("flies", "fly"),             # -ies -> -y recovery
+        ("carried", "carry"),         # past -ied -> -y
+        ("defined", "define"),        # -ed with e-restore
+        ("running", "run"),           # aspect + doubled consonant
+        ("merges", "merge"), ("merged", "merge"), ("merging", "merge"),
+        ("happiness", "happy"),       # -ness with i -> y
+        ("definition", "define"),     # -ition -> -e
+        ("elimination", "eliminate"), # -ation -> -ate
+        ("amplification", "amplify"), # -ication -> -y
+        ("resignation", "resign"),    # -ation removal
+        ("bathed", "bath"),           # exception word forces strip
+        ("died", "die"),              # direct conflation
+        ("going", "go"),              # direct conflation
+        ("engineer", "engine"),       # -eer via the buffer-growth path
+        ("militarily", "military"),   # -ily -> -y
+        ("compensable", "compensate"),  # -able -> -ate
+        ("immunity", "immune"),       # -ity -> -e
+    ])
+    def test_hand_traced(self, ks, word, stem):
+        assert ks.stem(word) == stem
+
+    def test_exception_word_unchanged(self, ks):
+        assert ks.stem("bathe") == "bathe"
+
+    def test_non_alpha_and_short_unchanged(self, ks):
+        assert ks.stem("u.s.a") == "u.s.a"
+        assert ks.stem("ab") == "ab"
+
+    def test_default_lexicon_smoke(self):
+        assert kstem("merging") == "merge"
+        assert kstem("queries") == "query"
+        assert "merge" in DEFAULT_LEXICON
+
+
+class TestFrenchAnalyzer:
+    def test_chain(self):
+        # elision + stop (le/la/les/de) + light stem, positions keep holes
+        toks = french_analyze("Le chanteur de l'étape chante les chansons")
+        terms = [t.term for t in toks]
+        poss = [t.pos for t in toks]
+        assert terms == ["chant", "etap", "chant", "chanson"]
+        assert poss == [1, 3, 4, 6]
+
+    def test_stopwords_accented(self):
+        assert "été" in FRENCH_STOP_WORDS
+        assert not [t for t in french_analyze("été à la")]
