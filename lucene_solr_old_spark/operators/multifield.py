@@ -24,7 +24,7 @@ from .search import term_score_frame
 from ..functions.tokenizer import get_analyzer
 
 __all__ = ["MultiFieldIndex", "build_multifield_index", "search_fielded",
-           "search_edismax"]
+           "search_edismax", "masked_span_query"]
 
 
 class MultiFieldIndex:
@@ -157,5 +157,123 @@ def search_edismax(mfi: MultiFieldIndex, query_text: str,
     if mm > 0:
         agg = agg.where(F.col("nmatched") >= mm)
     return (agg.select("key", "score")
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# FieldMaskingSpanQuery
+# ---------------------------------------------------------------------------
+
+_MASK_SEP = "\x1f"
+
+
+def _retag(node, field: str):
+    """Resolve ("mask", child, real_field) nodes by tagging every leaf term
+    with the field whose postings evaluate it; mask nodes disappear (they
+    only change field attribution — ``spans/FieldMaskingSpanQuery.java``:
+    the wrapped spans enumerate the REAL field, the query reports the
+    masked field)."""
+    kind = node[0]
+    if kind == "mask":
+        return _retag(node[1], node[2])
+    if kind == "term":
+        return ("term", f"{field}{_MASK_SEP}{node[1]}")
+    if kind in ("near",):
+        return ("near", [_retag(c, field) for c in node[1]],
+                node[2], node[3])
+    if kind == "or":
+        return ("or", [_retag(c, field) for c in node[1]])
+    if kind == "not":
+        return ("not", _retag(node[1], field), _retag(node[2], field))
+    if kind in ("first", "posrange"):
+        return (kind, _retag(node[1], field), *node[2:])
+    raise ValueError(f"unknown span node {kind!r}")
+
+
+def masked_span_query(mfi: MultiFieldIndex, tree, k: int = 10,
+                      precision: str = "float32") -> DataFrame:
+    """Span tree with ("mask", child, real_field) nodes — the
+    FieldMaskingSpanQuery composition: spans from different same-analyzer
+    fields participate in ONE near/or/not tree, correct only when the
+    fields carry parallel positions (the reference's documented contract).
+
+    Scoring follows the Javadoc note: Similarity + collection statistics
+    (avgdl, norm cache) come from the MASKED field (= default field); each
+    leaf's term statistics (df for idf) come from its REAL field.
+
+    Plan: per-field postings pruned to that field's leaf terms (parquet
+    pushdown) -> join each field's docmeta for the shared key -> union ->
+    per-key (term, positions) collection -> the exact NearSpans kernels
+    (functions/phrasepos.py) over field-tagged terms -> BM25 ->
+    TakeOrderedAndProject."""
+    import numpy as np
+
+    from .search import _Scorer, idf64
+    from .spans import _required_terms, _span_tree_udf, _tree_terms
+
+    tagged = _retag(tree, mfi.default_field)
+    by_field: dict[str, set] = {}
+    for tt in set(_tree_terms(tagged)):
+        fld, t = tt.split(_MASK_SEP, 1)
+        by_field.setdefault(fld, set()).add(t)
+
+    frames = []
+    for fld, terms in sorted(by_field.items()):
+        idx = mfi.field(fld)
+        if not idx.with_positions:
+            raise ValueError(f"field {fld!r} indexed without positions")
+        rows = (idx.postings.where(F.col("term").isin(sorted(terms)))
+                .select("seg", "term", F.explode("postings").alias("p"))
+                .select("seg",
+                        F.concat(F.lit(fld + _MASK_SEP),
+                                 F.col("term")).alias("term"),
+                        F.col("p.docid").alias("docid"),
+                        F.col("p.positions").alias("pos"))
+                .join(idx.docmeta.select("seg", "docid", "key"),
+                      ["seg", "docid"])
+                .select("key", "term", "pos"))
+        frames.append(rows)
+    rows = frames[0]
+    for f in frames[1:]:
+        rows = rows.unionByName(f)
+
+    req = sorted(_required_terms(tagged))
+    per_key = rows.groupBy("key").agg(
+        F.sum(F.when(F.col("term").isin(req), 1).otherwise(0)).alias("nreq"),
+        F.collect_list(F.struct("term", "pos")).alias("termpos"))
+    if req:
+        per_key = per_key.where(F.col("nreq") == len(req))
+
+    # norms of the masked field; term stats of each leaf's real field
+    masked_idx = mfi.field(mfi.default_field)
+    scorer = _Scorer(masked_idx, [], precision)
+    if precision == "float64":
+        w = 0.0
+        for tt in sorted(set(_tree_terms(tagged))):
+            fld, t = tt.split(_MASK_SEP, 1)
+            df = mfi.field(fld).term_stats([t]).get(t, (0, 0))[0]
+            w += idf64(df, scorer.stats.max_doc)
+        weight_value = w * 2.2
+    else:
+        acc = np.float32(0.0)
+        for tt in sorted(set(_tree_terms(tagged))):
+            fld, t = tt.split(_MASK_SEP, 1)
+            df = mfi.field(fld).term_stats([t]).get(t, (0, 0))[0]
+            acc = acc + scorer.stats.idf(df)
+        weight_value = float(acc * (scorer.stats.k1 + np.float32(1.0)))
+    stype = "double" if precision == "float64" else "float"
+
+    scored = (per_key
+              .join(masked_idx.docmeta.select("key", "norm"), "key")
+              .withColumn("sfreq", _span_tree_udf(
+                  tagged, f32=(precision != "float64"))(F.col("termpos")))
+              .where(F.col("sfreq") > 0)
+              .withColumn(
+                  "score",
+                  (F.lit(weight_value).cast(stype)
+                   * F.col("sfreq").cast(stype))
+                  / (F.col("sfreq").cast(stype) + scorer.norm_factor())))
+    return (scored.select("key", F.col("score").cast(stype).alias("score"))
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(k))

@@ -109,3 +109,49 @@ def test_edismax_dismax_and_mm(spark):
             search_edismax(mfi, "spark merge", qf={"body": 1.0, "tag": 2.0},
                            mm=2, k=10).collect()}
     assert got2 == set()  # no doc matches both words
+
+
+class TestFieldMaskingSpan:
+    """FieldMaskingSpanQuery (spans/FieldMaskingSpanQuery.java Javadoc
+    example shape): same-analyzer fields with parallel positions compose
+    in one span tree."""
+
+    @pytest.fixture(scope="class")
+    def mfi(self, spark):
+        from lucene_solr_old_spark.operators.multifield import (
+            build_multifield_index)
+
+        docs = spark.createDataFrame(
+            [("d1", "james mary", "smith jones"),
+             ("d2", "mary james", "jones smith"),
+             ("d3", "james sally", "jones baker")],
+            "k STRING, first STRING, last STRING")
+        return build_multifield_index(
+            docs, key_col="k", fields={"first": "first", "last": "last"},
+            default_field="first", num_segments=2,
+            analyzers={"first": "ws_stop", "last": "ws_stop"})
+
+    def test_masked_ordered_near(self, mfi):
+        from lucene_solr_old_spark.operators.multifield import (
+            masked_span_query)
+
+        # first:james immediately followed (parallel positions) by
+        # last:jones — i.e. a person named "james jones"
+        tree = ("near", [("term", "james"),
+                         ("mask", ("term", "jones"), "last")], 0, True)
+        hits = masked_span_query(mfi, tree, k=10).collect()
+        # d1: james@0 then jones@1 -> ordered gap 0. d2: jones precedes
+        # james. d3: identical starts are NOT ordered (docSpansOrdered).
+        assert [r["key"] for r in hits] == ["d1"]
+
+    def test_masked_same_position(self, mfi):
+        from lucene_solr_old_spark.operators.multifield import (
+            masked_span_query)
+
+        # unordered, slop 0: james(first) and jones(last) in the SAME slot
+        tree = ("near", [("term", "james"),
+                         ("mask", ("term", "jones"), "last")], 0, False)
+        hits = masked_span_query(mfi, tree, k=10).collect()
+        keys = sorted(r["key"] for r in hits)
+        # adjacent or same-slot pairs all fit in slop 0 unordered
+        assert keys == ["d1", "d2", "d3"]
