@@ -121,6 +121,15 @@ def span_score_frame(index: InvertedIndex, tree,
     kernel evaluates the tree -> BM25 -> TakeOrderedAndProject. Candidate
     docs are pre-filtered to those containing every REQUIRED term (the
     same conjunctive pruning Lucene's sub-span leapfrog does).
+
+    Scale bound (BENCH_r03 measures this at 1.2M docs): the candidate
+    frame is distributed (one groupBy partition per shuffle slot) and the
+    Python kernel consumes it in Arrow batches capped at
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` = 10k docs
+    (session.py), so per-task memory is <= batch * max-doclen positions
+    regardless of how common the query terms are; worst case (all-stopword
+    trees, empty required set) degrades to a scan of the rarest-term df,
+    the same bound as the reference's leapfrog.
     """
     if not index.with_positions:
         raise ValueError("index built without positions")
