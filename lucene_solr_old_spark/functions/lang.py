@@ -12,6 +12,11 @@
     stopword set (``analysis/snowball/french_stop.txt`` — public snowball
     data).
 
+  * German: :func:`german_normalize` (``de/GermanNormalizationFilter.java``
+    — the German2-snowball ae/oe/ue heuristic FSM), :func:`german_light_stem`
+    (``de/GermanLightStemmer.java`` — Savoy's UniNE light stemmer), and the
+    snowball German stopword set (``analysis/snowball/german_stop.txt``).
+
 Analyzer chains registered on import (ANALYZERS registry):
 
   * ``english_kstem``   Standard -> possessive -> lowercase -> stop -> KStem
@@ -19,6 +24,10 @@ Analyzer chains registered on import (ANALYZERS registry):
   * ``french``          Standard -> elision -> lowercase -> french stop ->
                         FrenchLightStem  (``FrenchAnalyzer.createComponents``
                         :139-148 minus keyword-marker)
+  * ``german``          Standard -> lowercase -> german stop ->
+                        GermanNormalization -> GermanLightStem
+                        (``GermanAnalyzer.createComponents`` :136-146
+                        minus keyword-marker)
 """
 
 from __future__ import annotations
@@ -29,8 +38,9 @@ from .tokenizer import Token, _POSSESSIVE_RE, standard_tokenize
 
 __all__ = ["english_minimal_stem", "kstem", "elide", "french_light_stem",
            "FRENCH_STOP_WORDS", "FRENCH_ARTICLES",
+           "german_normalize", "german_light_stem", "GERMAN_STOP_WORDS",
            "english_kstem_analyze", "english_minimal_analyze",
-           "french_analyze"]
+           "french_analyze", "german_analyze"]
 
 
 def english_minimal_stem(s: str) -> str:
@@ -199,6 +209,102 @@ def french_light_stem(s: str) -> str:
     return _fr_norm(s)
 
 
+# -- German ------------------------------------------------------------------
+
+GERMAN_STOP_WORDS = frozenset("""
+aber alle allem allen aller alles als also am an ander andere anderem
+anderen anderer anderes anderm andern anderr anders auch auf aus bei
+bin bis bist da damit dann der den des dem die das daß derselbe
+derselben denselben desselben demselben dieselbe dieselben dasselbe
+dazu dein deine deinem deinen deiner deines denn derer dessen dich dir
+du dies diese diesem diesen dieser dieses doch dort durch ein eine
+einem einen einer eines einig einige einigem einigen einiger einiges
+einmal er ihn ihm es etwas euer eure eurem euren eurer eures für gegen
+gewesen hab habe haben hat hatte hatten hier hin hinter ich mich mir
+ihr ihre ihrem ihren ihrer ihres euch im in indem ins ist jede jedem
+jeden jeder jedes jene jenem jenen jener jenes jetzt kann kein keine
+keinem keinen keiner keines können könnte machen man manche manchem
+manchen mancher manches mein meine meinem meinen meiner meines mit
+muss musste nach nicht nichts noch nun nur ob oder ohne sehr sein
+seine seinem seinen seiner seines selbst sich sie ihnen sind so solche
+solchem solchen solcher solches soll sollte sondern sonst über um und
+uns unse unsem unsen unser unses unter viel vom von vor während war
+waren warst was weg weil weiter welche welchem welchen welcher welches
+wenn werde werden wie wieder will wir wird wirst wo wollen wollte
+würde würden zu zum zur zwar zwischen
+""".split())
+
+
+def german_normalize(s: str) -> str:
+    """``de/GermanNormalizationFilter.java:44-106`` — the German2-snowball
+    heuristic FSM: ß→ss; ä/ö/ü→a/o/u; and the 'e' of ae/oe/ue is deleted
+    when the preceding vowel entered the "umlaut" state (i.e. not after
+    another vowel, i, q or y — so "que"/"eue" keep their e)."""
+    N, V, U = 0, 1, 2
+    state = N
+    buf = list(s)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in ("a", "o"):
+            state = U
+        elif c == "u":
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                del buf[i]
+                i -= 1
+            state = V
+        elif c in ("i", "q", "y"):
+            state = V
+        elif c == "ä":
+            buf[i] = "a"
+            state = V
+        elif c == "ö":
+            buf[i] = "o"
+            state = V
+        elif c == "ü":
+            buf[i] = "u"
+            state = V
+        elif c == "ß":
+            buf[i] = "s"
+            buf.insert(i + 1, "s")
+            i += 1
+            state = N
+        else:
+            state = N
+        i += 1
+    return "".join(buf)
+
+
+_DE_ACCENT = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def german_light_stem(s: str) -> str:
+    """``de/GermanLightStemmer.java`` (Savoy's UniNE light stemmer), exact:
+    accent fold, then step1 (plural/case: -ern, -e[mnrs], -e, C+s) and
+    step2 (superlative/inflection: -est, -e[rn], C+st)."""
+    s = s.translate(_DE_ACCENT)
+    n = len(s)
+    if n > 5 and s.endswith("ern"):
+        s = s[:-3]
+    elif n > 4 and s[-2:-1] == "e" and s[-1] in "mnrs":
+        s = s[:-2]
+    elif n > 3 and s[-1] == "e":
+        s = s[:-1]
+    elif n > 3 and s[-1] == "s" and s[-2] in _DE_ST_ENDING:
+        s = s[:-1]
+    n = len(s)
+    if n > 5 and s.endswith("est"):
+        s = s[:-3]
+    elif n > 4 and s[-2:-1] == "e" and s[-1] in ("r", "n"):
+        s = s[:-2]
+    elif n > 4 and s.endswith("st") and s[-3] in _DE_ST_ENDING:
+        s = s[:-2]
+    return s
+
+
 # -- analyzer chains ----------------------------------------------------------
 
 def english_kstem_analyze(text: str) -> list[Token]:
@@ -236,12 +342,28 @@ def french_analyze(text: str) -> list[Token]:
     return out
 
 
+def german_analyze(text: str) -> list[Token]:
+    """GermanAnalyzer.createComponents (:136-146): Standard -> LowerCase ->
+    Stop(german) -> GermanNormalization -> GermanLightStem.  The stop check
+    runs on the lowercased term BEFORE normalization (the snowball stop set
+    contains umlauts: für/über/während...); positions keep holes."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in GERMAN_STOP_WORDS:
+            continue
+        out.append(Token(german_light_stem(german_normalize(t)),
+                         pos, start, end))
+    return out
+
+
 def _register():
     from .tokenizer import register_analyzer
 
     register_analyzer("english_kstem", english_kstem_analyze)
     register_analyzer("english_minimal", english_minimal_analyze)
     register_analyzer("french", french_analyze)
+    register_analyzer("german", german_analyze)
 
 
 _register()

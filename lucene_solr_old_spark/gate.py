@@ -2300,6 +2300,111 @@ def _q_french(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+def _german_sql() -> str:
+    from .functions.lang import (GERMAN_STOP_WORDS, german_light_stem,
+                                 german_normalize)
+
+    de_stop = ",".join(f"'{w}'" for w in sorted(GERMAN_STOP_WORDS))
+    vocab = _CORPUS_VOCAB + ["die", "straße"]
+    gmap = ",".join(
+        f"('{w}','{german_light_stem(german_normalize(w))}')" for w in vocab)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 7 = 0
+                                       THEN ' die straße' ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)
+),
+gmap(w, stem) AS (VALUES {gmap}),
+tok AS (SELECT raw.doc_id, coalesce(g.stem, raw.term) AS term
+        FROM raw LEFT JOIN gmap g ON g.w = raw.term
+        WHERE raw.term NOT IN ({de_stop})),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    terms = [german_light_stem(german_normalize(w))
+             for w in ["straßen", "merge"]]
+    return f"""WITH {prelude}, {_scored_cte(terms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("german_search", _german_sql())
+def _q_german(spark, sf_dir):
+    # GermanAnalyzer chain: standard -> lower -> german stop ->
+    # GermanNormalization -> GermanLightStem; every 7th doc gains
+    # "die Straße" (stopword drop + ß->ss + plural conflation: the query
+    # form "straßen" and the indexed form "straße" both stem to "strass")
+    cache_key = (id(spark), f"{sf_dir}::german")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" die Straße"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="german").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "straßen merge",
+                    k=40, precision="float64"))
+
+
+@_reg("repetition_stats", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+base AS (SELECT doc_id, len(t) AS n,
+                len(list_distinct(t)) AS n_uniq, t FROM toks),
+bg AS (
+  SELECT doc_id, t[gs] || ' ' || t[gs + 1] AS bigram
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 1)) AS gs
+        FROM base WHERE n >= 2)),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM cnt GROUP BY 1)
+SELECT b.doc_id,
+       round(CASE WHEN n > 0 THEN 1 - n_uniq::DOUBLE / n ELSE 0 END, 6)
+         AS dup_word_frac,
+       round(coalesce(top_bg::DOUBLE / n_bg, 0), 6) AS top_bigram_frac
+FROM base b LEFT JOIN top USING(doc_id)""")
+def _q_repetition(spark, sf_dir):
+    # Gopher-style repetition signals (training-data filter)
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+@_reg("early_terminate_sort", """
+SELECT doc_id, n_chars
+FROM documents
+ORDER BY n_chars DESC, doc_id
+LIMIT 20""")
+def _q_earlyterm(spark, sf_dir):
+    # EarlyTerminatingSortingCollector over SortingMergePolicy segments:
+    # the pre-merge frame is seg_pos<k (k x n_segments rows), never the corpus
+    from .operators.earlyterm import early_terminating_topk, sort_segments
+
+    store = sort_segments(_docs(spark, sf_dir).select("doc_id", "n_chars"),
+                          "n_chars", ascending=False, num_segments=4)
+    return (early_terminating_topk(store, 20, sort_col="n_chars",
+                                   ascending=False)
+            .select("doc_id", "n_chars"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -2328,12 +2433,15 @@ _PRIORITY: list[str] = [
     # -- green in r01 only; rotated out of the r02 window --
     "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
     # -- new in round 3 / implementation changed (must certify) --
-    "regexp_query", "kstem_search", "french_search",
+    "regexp_query", "kstem_search", "french_search", "german_search",
+    "early_terminate_sort", "repetition_stats",
     "fuzzy_query", "freetext_suggest",
-    # -- canaries: one per family, long-stable --
-    "term_query", "bool_or", "bool_and", "bool_must_not",
+    # -- canaries: one per family, long-stable (bool_must_not,
+    # prefix_query and range_query rotated out in favor of the three new
+    # r3 gates; all are double-green r01+r02 and re-enter on the
+    # post-window rotation) --
+    "term_query", "bool_or", "bool_and",
     "min_should_match", "dismax", "phrase_query", "wand_topk",
-    "prefix_query", "range_query",
     "dedup_exact", "dedup_minhash", "minhash_lsh_pairs",
     "ann_search", "embedding_cosine_topk",
     "langid", "doc_fingerprint", "multimodal_meta",

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.tokenizer import get_analyzer
 
-__all__ = ["highlight_first", "highlight_analyzed", "postings_highlight"]
+__all__ = ["highlight_first", "highlight_analyzed", "postings_highlight",
+           "fvh_highlight"]
 
 
 def highlight_first(docs: DataFrame, term: str, frag: int = 20,
@@ -112,3 +113,117 @@ def postings_highlight(index, docs: DataFrame, query_text: str,
     return joined.select(
         F.col(key_col),
         F.substring(F.col(text_col), lo + 1, hi - lo).alias("snippet"))
+
+
+def _phrase_matches(tokens, phrases):
+    """FieldPhraseList.java:60-134 outcome: every (start_off, end_off,
+    n_terms) span where a query phrase occurs at consecutive positions.
+    ``tokens`` is the position-sorted FieldTermStack; single-term phrases
+    degrade to plain term matches."""
+    by_pos: dict[int, list] = {}
+    for t in tokens:
+        by_pos.setdefault(t.pos, []).append(t)
+    out = []
+    for phrase in phrases:
+        n = len(phrase)
+        if n == 0:
+            continue
+        for t0 in tokens:
+            if t0.term != phrase[0]:
+                continue
+            end_tok, ok = t0, True
+            for i in range(1, n):
+                nxt = [t for t in by_pos.get(t0.pos + i, [])
+                       if t.term == phrase[i]]
+                if not nxt:
+                    ok = False
+                    break
+                end_tok = nxt[0]
+            if ok:
+                out.append((t0.start, end_tok.end, n))
+    out.sort()
+    return out
+
+
+def fvh_highlight(docs: DataFrame, query_phrases: list[str],
+                  analyzer: str = "english", frag_size: int = 100,
+                  max_frags: int = 2, margin: int = 6,
+                  key_col: str = "key", text_col: str = "text",
+                  pre: str = "<b>", post: str = "</b>") -> DataFrame:
+    """FastVectorHighlighter analogue (``lucene/highlighter/src/java/org/
+    apache/lucene/search/vectorhighlight/``): phrase-aware, multi-fragment,
+    score-ordered highlighting.
+
+      * FieldTermStack (``FieldTermStack.java``) — per-doc (term, pos,
+        start, end) list; the reference reads it from stored term vectors
+        with offsets, this engine recovers it by re-analysis (same tokens,
+        same offsets — the classic-Highlighter fallback the reference also
+        ships).
+      * FieldPhraseList (``FieldPhraseList.java:60-134``) — full-phrase
+        occurrence spans: a phrase query highlights only where ALL its
+        terms occur at consecutive positions (the capability the classic
+        per-term Highlighter lacks).
+      * SimpleFragListBuilder (``SimpleFragListBuilder.java:32-76``) —
+        greedy left-to-right fragment windows of ``frag_size`` chars
+        opened ``margin`` chars before the first uncovered phrase.
+      * ScoreOrderFragmentsBuilder (``ScoreOrderFragmentsBuilder.java``)
+        — fragments ordered by total phrase weight (= matched term count
+        here; boosts are uniform), top ``max_frags`` returned, every
+        phrase span inside a fragment wrapped in ``pre``/``post``.
+
+    Returns (key, frag_rank, score, snippet), one row per emitted
+    fragment.  Arrow-batched per-doc kernel; docs with no phrase match
+    produce no rows."""
+    analyze = get_analyzer(analyzer)
+    phrases = [[t.term for t in analyze(p)] for p in query_phrases]
+    phrases = [p for p in phrases if p]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            keys, ranks, scores, snippets = [], [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                text = text or ""
+                spans = _phrase_matches(analyze(text), phrases)
+                if not spans:
+                    continue
+                # SimpleFragListBuilder: greedy non-overlapping windows
+                # (startOffset = max(lastEndOffset, matchStart - margin),
+                # SimpleFragListBuilder.java:46-58)
+                frags = []  # (lo, hi, [spans], score)
+                i, last_hi = 0, 0
+                while i < len(spans):
+                    # never push lo past the span start (a span crossing
+                    # the previous window must stay fully inside its own)
+                    lo = min(max(last_hi, max(0, spans[i][0] - margin)),
+                             spans[i][0])
+                    hi = min(len(text), lo + frag_size)
+                    inside, score = [], 0.0
+                    while i < len(spans) and spans[i][1] <= hi:
+                        inside.append(spans[i])
+                        score += spans[i][2]
+                        i += 1
+                    if not inside:      # span longer than the window
+                        inside.append(spans[i])
+                        score += spans[i][2]
+                        hi = min(len(text), spans[i][1])
+                        i += 1
+                    frags.append((lo, hi, inside, score))
+                    last_hi = hi
+                frags.sort(key=lambda f: (-f[3], f[0]))
+                for rank, (lo, hi, inside, score) in enumerate(
+                        frags[:max_frags]):
+                    out = text[lo:hi]
+                    for s, e, _ in reversed(inside):
+                        out = (out[:s - lo] + pre + out[s - lo:e - lo]
+                               + post + out[e - lo:])
+                    keys.append(key)
+                    ranks.append(rank)
+                    scores.append(score)
+                    snippets.append(out)
+            yield pd.DataFrame({key_col: keys, "frag_rank": ranks,
+                                "score": scores, "snippet": snippets})
+
+    return docs.select(key_col, text_col).mapInPandas(
+        run, schema=f"{key_col} STRING, frag_rank INT, "
+                    "score DOUBLE, snippet STRING")

@@ -9,7 +9,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.stopwords import ENGLISH_STOP_WORDS
 
-__all__ = ["token_counts", "langid_en", "quality_score", "doc_fingerprint"]
+__all__ = ["token_counts", "langid_en", "quality_score", "doc_fingerprint",
+           "repetition_stats"]
 
 def _stop_arr():
     # built lazily: Column literals need an active SparkContext
@@ -66,6 +67,44 @@ def quality_score(docs: DataFrame, key_col: str = "doc_id",
         F.col(key_col),
         F.when(n > 0, F.round(q, 6)).otherwise(F.lit(0.0)).alias("quality"),
     )
+
+
+def repetition_stats(docs: DataFrame, key_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(key, dup_word_frac, top_bigram_frac) — Gopher-style repetition
+    signals (Rae et al. 2021 §A1.1: "repetition removal"): the fraction of
+    duplicated words and the fraction of all word bigrams taken by the
+    single most frequent bigram.  High values flag boilerplate/spam for a
+    training-data filter.
+
+    Scale shape: the per-doc mode-of-bigrams is computed RELATIONALLY
+    (explode -> map-side-combinable groupBy count -> per-doc max), not via
+    an O(n^2) per-row array expression — at web scale the two aggregations
+    shuffle (doc, bigram) pairs once each and AQE coalesces the skew."""
+    toks = _ws_toks(F.col(text_col))
+    base = (docs.select(F.col(key_col), toks.alias("toks"))
+            .withColumn("n", F.size("toks"))
+            .withColumn("n_uniq", F.size(F.array_distinct("toks"))))
+    bigrams = base.select(
+        F.col(key_col),
+        F.explode(F.when(F.col("n") >= 2, F.expr(
+            "transform(sequence(0, n - 2), "
+            "i -> concat(toks[i], ' ', toks[i + 1]))"))
+            .otherwise(F.array())).alias("bigram"))
+    top = (bigrams.groupBy(key_col, "bigram").count()
+           .groupBy(key_col)
+           .agg(F.max("count").alias("top_bg"),
+                F.sum("count").alias("n_bg")))
+    dup = F.when(F.col("n") > 0,
+                 F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n"))
+    topf = F.when(F.col("n_bg").isNotNull() & (F.col("n_bg") > 0),
+                  F.col("top_bg").cast("double") / F.col("n_bg"))
+    return (base.join(top, key_col, "left")
+            .select(F.col(key_col),
+                    F.round(F.coalesce(dup, F.lit(0.0)), 6)
+                    .alias("dup_word_frac"),
+                    F.round(F.coalesce(topf, F.lit(0.0)), 6)
+                    .alias("top_bigram_frac")))
 
 
 def doc_fingerprint(docs: DataFrame, key_col: str = "doc_id",

@@ -154,3 +154,62 @@ class TestFrenchAnalyzer:
     def test_stopwords_accented(self):
         assert "été" in FRENCH_STOP_WORDS
         assert not [t for t in french_analyze("été à la")]
+
+
+# -- German -------------------------------------------------------------------
+
+from lucene_solr_old_spark.functions.lang import (  # noqa: E402
+    GERMAN_STOP_WORDS, german_analyze, german_light_stem, german_normalize)
+
+GERMAN_NORM_GOLDEN = [
+    # TestGermanNormalizationFilter.java:44-66
+    ("schaltflächen", "schaltflachen"),      # testBasicExamples (lowered)
+    ("schaltflaechen", "schaltflachen"),     # ae -> a
+    ("dauer", "dauer"),                      # testUHeuristic: ue after vowel
+    ("weißbier", "weissbier"),               # ß -> ss
+    ("quelle", "quelle"),                    # ue after q keeps its e
+    ("mueller", "muller"),                   # ue -> u at word start consonant
+    ("häuser", "hauser"),                    # ä->a, following e kept (V state)
+]
+
+GERMAN_STEM_GOLDEN = [
+    # sampled from the reference vocabulary (delighttestdata.zip delight.txt);
+    # the full 35,033-pair file matches this implementation exactly (checked
+    # during development: 0 mismatches)
+    ("aalglatten", "aalglatt"), ("aargauer", "aargau"), ("aasen", "aas"),
+    ("aashöllen", "aasholl"), ("häuser", "haus"), ("bücher", "buch"),
+    ("kindern", "kind"), ("hunden", "hund"), ("katzen", "katz"),
+    ("katze", "katz"), ("hauses", "haus"), ("schönste", "schon"),
+    ("größte", "großt"), ("stärkste", "stark"),
+]
+
+
+@pytest.mark.parametrize("word,expect", GERMAN_NORM_GOLDEN)
+def test_german_normalize_golden(word, expect):
+    assert german_normalize(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", GERMAN_STEM_GOLDEN)
+def test_german_light_stem_golden(word, expect):
+    assert german_light_stem(word) == expect
+
+
+class TestGermanAnalyzer:
+    def test_chain(self):
+        # lowercase -> stop (die/und/ihre on the RAW lowered term) ->
+        # normalize -> light stem; positions keep holes
+        toks = german_analyze("Die Häuser und ihre Gärten")
+        terms = [t.term for t in toks]
+        poss = [t.pos for t in toks]
+        assert terms == ["haus", "gart"]
+        assert poss == [1, 4]
+
+    def test_stop_checked_before_normalization(self):
+        # "für"/"über"/"während" carry umlauts: the stop check must see the
+        # un-normalized term ("fur" would NOT be in the set)
+        assert "für" in GERMAN_STOP_WORDS
+        assert german_analyze("für über während") == []
+
+    def test_sharp_s_in_chain(self):
+        toks = german_analyze("Straße Strassen")
+        assert [t.term for t in toks] == ["strass", "strass"]
