@@ -57,6 +57,7 @@ from .tokenizer import Token, _POSSESSIVE_RE, standard_tokenize
 __all__ = ["english_minimal_stem", "kstem", "elide", "french_light_stem",
            "FRENCH_STOP_WORDS", "FRENCH_ARTICLES",
            "german_normalize", "german_light_stem", "GERMAN_STOP_WORDS",
+           "german_minimal_stem", "french_minimal_stem",
            "spanish_light_stem", "italian_light_stem",
            "portuguese_light_stem", "SPANISH_STOP_WORDS",
            "ITALIAN_STOP_WORDS", "PORTUGUESE_STOP_WORDS",
@@ -918,6 +919,51 @@ def finnish_light_analyze(text: str) -> list[Token]:
             continue
         out.append(Token(finnish_light_stem(t), pos, start, end))
     return out
+
+
+
+# -- German / French minimal stemmers ----------------------------------------
+
+_DE_MIN_ACCENT = str.maketrans("äöü", "aou")
+
+
+def german_minimal_stem(s: str) -> str:
+    """``de/GermanMinimalStemmer.java`` (Savoy, "Morphologie et recherche
+    d'information"), exact: umlaut fold, -nen, -en/-se/-es/-er, single
+    final n/e/s/r."""
+    if len(s) < 5:
+        return s
+    s = s.translate(_DE_MIN_ACCENT)
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[:-3]
+    if n > 5 and s[-2:] in ("en", "se", "es", "er"):
+        return s[:-2]
+    if s[-1] in "nesr":
+        return s[:-1]
+    return s
+
+
+def french_minimal_stem(s: str) -> str:
+    """``fr/FrenchMinimalStemmer.java`` (Savoy, "A stemming procedure and
+    stopword list for general French corpora"), exact."""
+    if len(s) < 6:
+        return s
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            return s[:-2] + "l"                 # -aux -> -al
+        return s[:-1]
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if s[-1] == s[-2]:
+        s = s[:-1]
+    return s
 
 
 # -- analyzer chains ----------------------------------------------------------

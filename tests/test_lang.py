@@ -353,3 +353,89 @@ class TestNordicSlavicChains:
         assert "och" in SWEDISH_STOP_WORDS
         assert "että" in FINNISH_STOP_WORDS
         assert "és" in HUNGARIAN_STOP_WORDS
+
+
+# -- minimal stemmers + RSLP Portuguese ---------------------------------------
+
+from lucene_solr_old_spark.functions.lang import (  # noqa: E402
+    french_minimal_stem, german_minimal_stem)
+from lucene_solr_old_spark.functions.rslp import (  # noqa: E402
+    portuguese_minimal_stem, portuguese_rslp_stem, rslp_step)
+
+# samples verbatim from deminimaltestdata (35,033 pairs),
+# frminimaltestdata (20,403), ptrslptestdata / ptminimaltestdata (32,016
+# each); full files match exactly (0 mismatches, checked in development)
+
+GERMAN_MINIMAL_GOLDEN = [
+    ("häusern", "hauser"), ("bücher", "buch"), ("diesen", "dies"),
+    ("katzen", "katz"), ("hauses", "haus"),
+]
+
+FRENCH_MINIMAL_GOLDEN = [
+    ("chevaux", "cheval"), ("agneaux", "agneal"), ("animaux", "animal"),
+    ("chantée", "chant"), ("chansons", "chanson"), ("baronne", "baron"),
+    ("belles", "bel"), ("chanteur", "chanteu"),
+]
+
+PT_RSLP_GOLDEN = [
+    ("balões", "bal"), ("bons", "bom"), ("normais", "norm"),
+    ("cansada", "cans"), ("felizmente", "feliz"),
+    ("professora", "profes"), ("barris", "barril"), ("vilã", "vil"),
+]
+
+PT_MINIMAL_GOLDEN = [
+    # plural step only: balões -> balão (rule {"ões",3,"ão"})
+    ("balões", "balão"), ("bons", "bom"), ("normais", "normal"),
+    ("casas", "casa"), ("mães", "mãe"), ("papéis", "papel"),
+]
+
+
+@pytest.mark.parametrize("word,expect", GERMAN_MINIMAL_GOLDEN)
+def test_german_minimal_golden(word, expect):
+    assert german_minimal_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", FRENCH_MINIMAL_GOLDEN)
+def test_french_minimal_golden(word, expect):
+    assert french_minimal_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", PT_RSLP_GOLDEN)
+def test_portuguese_rslp_golden(word, expect):
+    assert portuguese_rslp_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", PT_MINIMAL_GOLDEN)
+def test_portuguese_minimal_golden(word, expect):
+    assert portuguese_minimal_stem(word) == expect
+
+
+class TestRSLPEngine:
+    def test_first_matching_rule_wins(self):
+        # ordered rules: "ões" fires before the generic "s" rule
+        step = (3, 1, ("s",), (("ões", 3, "ão", None), ("s", 2, "", None)))
+        assert rslp_step(step, "balões") == "balão"
+        assert rslp_step(step, "casas") == "casa"
+
+    def test_whole_word_exception_falls_through(self):
+        # "mais" is a whole-word exception of the "ais" rule; the next
+        # rule ("is" -> "il") must NOT be blocked for other words
+        step = (3, 1, ("s",),
+                (("ais", 1, "al", ("cais", "mais")), ("is", 2, "il", None)))
+        assert rslp_step(step, "normais") == "normal"
+        assert rslp_step(step, "mais") == "mail"   # exception -> next rule
+        assert rslp_step(step, "barris") == "barril"
+
+    def test_min_stem_length_gates_rule(self):
+        step = (3, 0, (), (("es", 3, "", None),))
+        assert rslp_step(step, "males") == "mal"     # stem len 3 >= 3: fires
+        assert rslp_step(step, "cases") == "cas".ljust(3, "s")[:3]  # = "cas"
+        assert rslp_step(step, "res") == "res"       # below step min word len
+        assert rslp_step(step, "ses") == "ses"       # stem len 1 < 3: no fire
+
+    def test_conditional_suffix_skips_step(self):
+        step = (3, 1, ("a", "ã"), (("ora", 3, "or", None),))
+        assert rslp_step(step, "professora") == "professor"
+        # no conditional suffix -> whole step skipped, even though the
+        # rule suffix "ora" would otherwise not match anyway
+        assert rslp_step(step, "professor") == "professor"
