@@ -757,6 +757,58 @@ def _q_minhash_lsh(spark, sf_dir):
             .orderBy("a", "b", "band"))
 
 
+@_reg("dup_components", f"""WITH RECURSIVE {_PRELUDE},
+dt AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS term
+  FROM raw
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, 2) OVER w IS NOT NULL
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}:' || term)) AS sig_{i}" for i in range(8))}
+  FROM dt GROUP BY doc_id
+),
+banded AS ({" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band,"
+    f" md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS bucket FROM sig"
+    for b in range(4))}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+edges AS (SELECT a AS s, b AS d FROM pairs
+          UNION SELECT b, a FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, w.comp
+  FROM walk w JOIN edges e ON e.s = w.node
+  WHERE w.comp < e.d
+)
+SELECT node AS id, min(comp) AS comp
+FROM walk GROUP BY node
+ORDER BY id""")
+def _q_dup_components(spark, sf_dir):
+    # near-dup CLUSTER collapse: LSH candidate pairs -> hash-min label
+    # propagation -> comp = min doc id of each duplicate cluster
+    # (singletons keep themselves); the oracle walks the same graph with
+    # a recursive CTE
+    docs = _docs(spark, sf_dir)
+    toks = D.ws_tokens(docs)
+    sig = D.minhash_signatures(toks, n_hashes=8, shingle_n=3)
+    pairs = (D.lsh_candidate_pairs(sig, rows_per_band=2)
+             .select("a", "b").distinct())
+    comp = D.connected_components(pairs, docs, vertex_col="doc_id")
+    return (comp.select(F.col("id").cast("long").alias("id"),
+                        F.col("comp").cast("long").alias("comp"))
+            .orderBy("id"))
+
+
 @_reg("ngram_jaccard_capped", f"""WITH {_PRELUDE},
 sh AS (
   SELECT DISTINCT doc_id,
@@ -2496,14 +2548,15 @@ _PRIORITY: list[str] = [
     # -- new in round 3 / implementation changed (must certify) --
     "regexp_query", "kstem_search", "french_search", "german_search",
     "spanish_search", "early_terminate_sort", "repetition_stats",
-    "fuzzy_query", "freetext_suggest",
-    # -- canaries: one per family, long-stable (bool_must_not,
-    # prefix_query, range_query and min_should_match rotated out in favor
-    # of the four new r3 gates; all are double-green r01+r02 and re-enter
-    # on the post-window rotation) --
+    "dup_components", "fuzzy_query", "freetext_suggest",
+    # -- canaries: one per family, long-stable.  Rotated out in favor of
+    # the r3 gates (all double-green r01+r02; they re-enter on the
+    # post-window rotation): bool_must_not, prefix_query, range_query,
+    # min_should_match, and minhash_lsh_pairs (whose pair pipeline
+    # dup_components re-verifies transitively through its oracle) --
     "term_query", "bool_or", "bool_and",
     "dismax", "phrase_query", "wand_topk",
-    "dedup_exact", "dedup_minhash", "minhash_lsh_pairs",
+    "dedup_exact", "dedup_minhash",
     "ann_search", "embedding_cosine_topk",
     "langid", "doc_fingerprint", "multimodal_meta",
 ]

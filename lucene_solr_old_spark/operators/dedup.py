@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = [
     "ws_tokens", "exact_dedup_groups", "shingles", "minhash_signatures",
     "lsh_candidate_pairs", "simhash", "simhash_candidate_pairs",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs", "connected_components", "dup_representatives",
 ]
 
 
@@ -228,3 +228,55 @@ def ngram_jaccard_pairs(tokens: DataFrame, n: int = 3,
                         / (F.col("sza") + F.col("szb") - F.col("inter")))
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame,
+                         src: str = "a", dst: str = "b",
+                         vertex_col: str = "doc_id",
+                         max_iter: int = 20) -> DataFrame:
+    """(id, comp) — connected components of the duplicate-pair graph:
+    comp = the MINIMUM vertex id reachable from each vertex.  This is the
+    step between candidate-pair generation (LSH/simhash/jaccard) and
+    representative selection: a near-dup CLUSTER must be collapsed as a
+    whole, not pair-by-pair (A~B, B~C but not A~C still forms one group).
+
+    Algorithm: hash-min label propagation — every vertex starts labeled
+    with itself; each round every vertex takes the min label over itself
+    and its neighbors; converges in O(graph diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds in practice).  Each round
+    is one broadcast-eligible join + map-side-combinable min-agg; the
+    label frame is localCheckpoint()ed to truncate lineage, and the loop
+    exits on a fixpoint (an aggregated one-row count per round — the only
+    driver-side action, standard for iterative algorithms).  Vertices
+    with no edges keep themselves as component."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+         .distinct())
+    labels = (vertices.select(F.col(vertex_col).alias("id"))
+              .distinct()
+              .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        neigh = (e.join(labels.withColumnRenamed("id", "d"), "d")
+                 .groupBy("s").agg(F.min("comp").alias("ncomp"))
+                 .withColumnRenamed("s", "id"))
+        new_labels = (labels.join(neigh, "id", "left")
+                      .select("id",
+                              F.least(F.col("comp"),
+                                      F.coalesce("ncomp", "comp"))
+                              .alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.comp") != F.col("o.comp"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp"))
+
+
+def dup_representatives(components: DataFrame) -> DataFrame:
+    """(id, comp, keep) — mark one representative per duplicate cluster
+    (the min id, i.e. the component label itself); ``keep = false`` rows
+    are the near-dup discards of the training-data pipeline."""
+    return components.withColumn("keep", F.col("id") == F.col("comp"))

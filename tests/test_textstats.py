@@ -19,3 +19,37 @@ def test_repetition_stats_hand_computed(spark):
     assert got[2] == (round(1 - 2 / 6, 6), 0.6)
     assert got[3] == (0.0, 0.0)
     assert got[4] == (0.0, 0.0)
+
+
+def test_connected_components_clusters(spark):
+    from pyspark.sql import functions as F
+    from lucene_solr_old_spark.operators.dedup import (
+        connected_components, dup_representatives)
+
+    # two clusters (1-2-3 via chain, 10-11) + singleton 20; transitivity:
+    # 1~2 and 2~3 without 1~3 must still collapse to one component
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "a LONG, b LONG")
+    verts = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (20,)], "doc_id LONG")
+    comp = {r.id: r.comp
+            for r in connected_components(edges, verts).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    reps = dup_representatives(
+        connected_components(edges, verts))
+    kept = sorted(r.id for r in reps.where(F.col("keep")).collect())
+    assert kept == [1, 10, 20]
+
+
+def test_connected_components_long_chain(spark):
+    # a path graph exercises multi-round propagation (diameter > 1)
+    from lucene_solr_old_spark.operators.dedup import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a LONG, b LONG")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    comp = {r.id: r.comp
+            for r in connected_components(edges, verts).collect()}
+    assert comp == {i: 0 for i in range(n)}
