@@ -2501,6 +2501,66 @@ def _q_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+_URL_EXPR_SQL = """concat('HTTPS://WWW.Example', (doc_id % 7)::VARCHAR,
+       '.com:443/Path/', doc_id::VARCHAR,
+       CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=x&b=2&a=1#frag'
+            ELSE '?z=9&gclid=g&a=1' END)"""
+
+@_reg("url_normalize", f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents),
+p1 AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+           AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM u),
+p2 AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+                        '^www\\.', '') AS host0,
+         regexp_replace(regexp_extract(rest, '^[^/?#]*(.*)$', 1),
+                        '#.*$', '') AS tail
+  FROM p1),
+p3 AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END AS host,
+         regexp_extract(tail, '^([^?]*)', 1) AS path0,
+         regexp_extract(tail, '^[^?]*\\?(.*)$', 1) AS query
+  FROM p2),
+p4 AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN path0 = '' THEN '/'
+              ELSE regexp_replace(path0, '(.)/$', '\\1') END AS path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS cq
+  FROM p3)
+SELECT doc_id,
+       concat(scheme, '://', host, path,
+              CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)
+         AS url_norm
+FROM p4
+ORDER BY doc_id""")
+def _q_url_normalize(spark, sf_dir):
+    # web-pipeline URL canonicalization: case, default port, www, fragment,
+    # tracking params, param order, trailing slash — all Catalyst exprs
+    from .operators.textstats import normalize_url
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com:443/Path/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("/?utm_source=x&b=2&a=1#frag"))
+            .otherwise(F.lit("?z=9&gclid=g&a=1"))).alias("url"))
+    return (normalize_url(docs, "url")
+            .select("doc_id", "url_norm").orderBy("doc_id"))
+
+
 @_reg("early_terminate_sort", """
 SELECT doc_id, n_chars
 FROM documents
@@ -2548,7 +2608,7 @@ _PRIORITY: list[str] = [
     # -- new in round 3 / implementation changed (must certify) --
     "regexp_query", "kstem_search", "french_search", "german_search",
     "spanish_search", "early_terminate_sort", "repetition_stats",
-    "dup_components", "fuzzy_query", "freetext_suggest",
+    "dup_components", "url_normalize", "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable.  Rotated out in favor of
     # the r3 gates (all double-green r01+r02; they re-enter on the
     # post-window rotation): bool_must_not, prefix_query, range_query,
@@ -2557,7 +2617,7 @@ _PRIORITY: list[str] = [
     "term_query", "bool_or", "bool_and",
     "dismax", "phrase_query", "wand_topk",
     "dedup_exact", "dedup_minhash",
-    "ann_search", "embedding_cosine_topk",
+    "ann_search",
     "langid", "doc_fingerprint", "multimodal_meta",
 ]
 

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.stopwords import ENGLISH_STOP_WORDS
 
 __all__ = ["token_counts", "langid_en", "quality_score", "doc_fingerprint",
-           "repetition_stats"]
+           "repetition_stats", "normalize_url"]
 
 def _stop_arr():
     # built lazily: Column literals need an active SparkContext
@@ -119,3 +119,51 @@ def doc_fingerprint(docs: DataFrame, key_col: str = "doc_id",
         F.col(key_col),
         F.md5(F.concat_ws(" ", kept)).alias("fp"),
     )
+
+
+def normalize_url(docs: DataFrame, url_col: str = "url",
+                  out_col: str = "url_norm") -> DataFrame:
+    """Append ``out_col`` = canonicalized URL — the web-pipeline dedup key
+    (two crawls of one page routinely differ only in case, default port,
+    tracking params, param order, fragment, or a trailing slash).
+
+    Steps (all Catalyst string/array expressions — JVM codegen, no UDF):
+      1. lowercase scheme + host,
+      2. strip a leading ``www.``,
+      3. strip default ports (``:80`` http, ``:443`` https),
+      4. drop the fragment,
+      5. drop tracking params (``utm_*``, ``gclid``, ``fbclid``, ``ref``),
+      6. sort surviving query params (order-insensitive canonical form),
+      7. strip a trailing slash from a non-root path.
+    """
+    u = F.col(url_col)
+    # 1-2: scheme+host lowercase, www strip (host = up to first / after //)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    # 3: default ports
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, r":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(host, r":443$", "")) \
+            .otherwise(host)
+    tail = F.regexp_extract(rest, r"^[^/?#]*(.*)$", 1)
+    # 4: fragment off
+    tail = F.regexp_replace(tail, r"#.*$", "")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.regexp_extract(tail, r"^[^?]*\?(.*)$", 1)
+    # 5-6: tracking params out, rest sorted
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) &
+                  ~p.rlike(r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="))
+    canon_q = F.array_join(F.array_sort(params), "&")
+    # 7: trailing slash (non-root)
+    path = F.when(path == "", F.lit("/")) \
+            .otherwise(F.regexp_replace(path, r"(.)/$", "$1"))
+    out = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                            canon_q)))
+    return docs.withColumn(out_col, out)

@@ -53,3 +53,20 @@ def test_connected_components_long_chain(spark):
     comp = {r.id: r.comp
             for r in connected_components(edges, verts).collect()}
     assert comp == {i: 0 for i in range(n)}
+
+
+def test_normalize_url(spark):
+    from lucene_solr_old_spark.operators.textstats import normalize_url
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=x&b=2&a=1#f"),
+         (2, "http://host.com:80/"),
+         (3, "http://host.com:8080/a?z=1&gclid=g"),
+         (4, "https://host.com")],
+        "doc_id LONG, url STRING")
+    got = {r.doc_id: r.url_norm for r in normalize_url(df, "url").collect()}
+    # case, www, default port, tracking, param sort, fragment, trail slash
+    assert got[1] == "https://example.com/Path/Sub?a=1&b=2"
+    assert got[2] == "http://host.com/"          # root slash kept
+    assert got[3] == "http://host.com:8080/a?z=1"  # non-default port kept
+    assert got[4] == "https://host.com/"         # empty path -> /
