@@ -41,6 +41,11 @@ Analyzer chains registered on import (ANALYZERS registry):
                         hu/ru/sv/fi analyzers use Snowball stemmers, not
                         shipped here; these chains use the reference's own
                         Light*StemFilter alternatives, ported exactly.)
+  * ``arabic``          Standard -> lowercase -> arabic stop ->
+                        ArabicNormalization -> ArabicStem
+                        (``ar/ArabicAnalyzer.java`` :140-148)
+  * ``czech``           Standard -> lowercase -> czech stop -> CzechStem
+                        (``cz/CzechAnalyzer.java``)
 
 Every light stemmer here is validated bit-exact against the reference's
 full test vocabularies (fr 77 goldens; de 35,033; es 28,377; it 35,494;
@@ -70,7 +75,10 @@ __all__ = ["english_minimal_stem", "kstem", "elide", "french_light_stem",
            "french_analyze", "german_analyze", "spanish_analyze",
            "italian_analyze", "portuguese_analyze",
            "hungarian_light_analyze", "russian_light_analyze",
-           "swedish_light_analyze", "finnish_light_analyze"]
+           "swedish_light_analyze", "finnish_light_analyze",
+           "arabic_normalize", "arabic_stem", "arabic_analyze",
+           "czech_stem", "czech_analyze",
+           "ARABIC_STOP_WORDS", "CZECH_STOP_WORDS"]
 
 
 def english_minimal_stem(s: str) -> str:
@@ -966,6 +974,151 @@ def french_minimal_stem(s: str) -> str:
     return s
 
 
+
+# -- Arabic ------------------------------------------------------------------
+
+ARABIC_STOP_WORDS = frozenset("""
+من ومن منها منه في وفي فيها فيه و ف ثم او أو ب بها به ا أ اى اي أي أى لا
+ولا الا ألا إلا لكن ما وما كما فما عن مع اذا إذا ان أن إن انها أنها إنها
+انه أنه إنه بان بأن فان فأن وان وأن وإن التى التي الذى الذي الذين الى
+الي إلى إلي على عليها عليه اما أما إما ايضا أيضا كل وكل لم ولم لن ولن هى
+هي هو وهى وهي وهو فهى فهي فهو انت أنت لك لها له هذه هذا تلك ذلك هناك
+كانت كان يكون تكون وكانت وكان غير بعض قد نحو بين بينما منذ ضمن حيث الان
+الآن خلال بعد قبل حتى عند عندما لدى جميع
+""".split())
+
+_AR_ALEF, _AR_YEH, _AR_HEH, _AR_WAW = "ا", "ي", "ه", "و"
+_AR_TEH_MARBUTA = "ة"
+_AR_NORM_MAP = str.maketrans({
+    "آ": _AR_ALEF, "أ": _AR_ALEF, "إ": _AR_ALEF,  # alef forms
+    "ى": _AR_YEH,                                          # dotless yeh
+    _AR_TEH_MARBUTA: _AR_HEH,                                  # teh marbuta
+    "ـ": None,                                             # tatweel
+    "ً": None, "ٌ": None, "ٍ": None,               # -atan
+    "َ": None, "ُ": None, "ِ": None,               # harakat
+    "ّ": None, "ْ": None,                              # shadda/sukun
+})
+
+_AR_PREFIXES = ["ال", "وال", "بال",
+                "كال", "فال", "لل",
+                "و"]
+_AR_SUFFIXES = ["ها", "ان", "ات", "ون",
+                "ين", "يه", "ية", "ه",
+                "ة", "ي"]
+
+
+def arabic_normalize(s: str) -> str:
+    """``ar/ArabicNormalizer.java`` — alef variants to bare alef, dotless
+    yeh to yeh, teh marbuta to heh, harakat/tanween/shadda/sukun/tatweel
+    removed."""
+    return s.translate(_AR_NORM_MAP)
+
+
+def arabic_stem(s: str) -> str:
+    """``ar/ArabicStemmer.java`` — strip ONE attached definite-article /
+    conjunction / preposition prefix (waw alone needs a 4+ char word,
+    others need 2 chars of stem left), then strip common suffixes in
+    array order, each requiring 2 chars of stem to survive."""
+    for p in _AR_PREFIXES:
+        if len(p) == 1 and len(s) < 4:
+            continue
+        if len(p) > 1 and len(s) < len(p) + 2:
+            continue
+        if s.startswith(p):
+            s = s[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if len(s) >= len(suf) + 2 and s.endswith(suf):
+            s = s[: -len(suf)]
+    return s
+
+
+def arabic_analyze(text: str) -> list[Token]:
+    """ArabicAnalyzer.createComponents (:140-148): Standard -> LowerCase ->
+    Stop(arabic) -> ArabicNormalization -> ArabicStem."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in ARABIC_STOP_WORDS:
+            continue
+        out.append(Token(arabic_stem(arabic_normalize(t)), pos, start, end))
+    return out
+
+
+# -- Czech -------------------------------------------------------------------
+
+CZECH_STOP_WORDS = frozenset("""
+a s k o i u v z dnes cz tímto budeš budem byli jseš můj svým ta tomto
+tohle tuto tyto jej zda proč máte tato kam tohoto kdo kteří mi nám tom
+tomuto mít nic proto kterou byla toho protože asi ho naši napište re což
+tím takže svých její svými jste aj tu tedy teto bylo kde ke pravé ji nad
+nejsou či pod téma mezi přes ty pak vám ani když však neg jsem tento
+článku články aby jsme před pta jejich byl ještě až bez také pouze první
+vaše která nás nový tipy pokud může strana jeho své jiné zprávy nové
+není vás jen podle zde už být více bude již než který by které co nebo
+ten tak má při od po jsou jak další ale si se ve to jako za zpět ze do
+pro je na atd atp jakmile přičemž já on ona ono oni ony my vy jí ji mě
+mne jemu tomu těm těmu němu němuž jehož jíž jelikož jež jakož načež
+""".split())
+
+
+def _cz_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 7 and s.endswith("atech"):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("ětem", "etem", "atům"):
+        return s[:-4]
+    if n > 5 and s[-3:] in (
+            "ech", "ich", "ích", "ého", "ěmi", "emi",
+            "ému", "ěte", "ete", "ěti", "eti", "ího",
+            "iho", "ími", "ímu", "imu", "ách", "ata", "aty",
+            "ých", "ama", "ami", "ové", "ovi", "ými"):
+        return s[:-3]
+    if n > 4 and s[-2:] in (
+            "em", "es", "ém", "ím", "ům", "at", "ám",
+            "os", "us", "ým", "mi", "ou"):
+        return s[:-2]
+    if n > 3 and s[-1] in "aeiouůyáéíýě":
+        return s[:-1]
+    return s
+
+
+def czech_stem(s: str) -> str:
+    """``cz/CzechStemmer.java`` (Dolamic & Savoy light stemmer), exact:
+    case-suffix removal, possessive -ov/-in/-uv removal, then palatal
+    normalization (ct->ck, st->sk, c/č->k, z/ž->h, e-insertion
+    collapse, ů->o)."""
+    s = _cz_remove_case(s)
+    if len(s) > 5 and s[-2:] in ("ov", "in", "ův"):
+        s = s[:-2]
+    if not s:
+        return s
+    if s.endswith("čt"):
+        return s[:-2] + "ck"
+    if s.endswith("št"):
+        return s[:-2] + "sk"
+    if s[-1] in ("c", "č"):
+        return s[:-1] + "k"
+    if s[-1] in ("z", "ž"):
+        return s[:-1] + "h"
+    if len(s) > 1 and s[-2] == "e":
+        return s[:-2] + s[-1]
+    if len(s) > 2 and s[-2] == "ů":
+        return s[:-2] + "o" + s[-1]
+    return s
+
+
+def czech_analyze(text: str) -> list[Token]:
+    """CzechAnalyzer: Standard -> LowerCase -> Stop(czech) -> CzechStem."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in CZECH_STOP_WORDS:
+            continue
+        out.append(Token(czech_stem(t), pos, start, end))
+    return out
+
+
 # -- analyzer chains ----------------------------------------------------------
 
 def english_kstem_analyze(text: str) -> list[Token]:
@@ -1032,6 +1185,8 @@ def _register():
     register_analyzer("russian_light", russian_light_analyze)
     register_analyzer("swedish_light", swedish_light_analyze)
     register_analyzer("finnish_light", finnish_light_analyze)
+    register_analyzer("arabic", arabic_analyze)
+    register_analyzer("czech", czech_analyze)
 
 
 _register()

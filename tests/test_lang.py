@@ -439,3 +439,72 @@ class TestRSLPEngine:
         # no conditional suffix -> whole step skipped, even though the
         # rule suffix "ora" would otherwise not match anyway
         assert rslp_step(step, "professor") == "professor"
+
+
+# -- Arabic / Czech -----------------------------------------------------------
+
+from lucene_solr_old_spark.functions.lang import (  # noqa: E402
+    ARABIC_STOP_WORDS, CZECH_STOP_WORDS, arabic_analyze, arabic_normalize,
+    arabic_stem, czech_analyze, czech_stem)
+
+ARABIC_STEM_GOLDEN = [
+    # TestArabicStemFilter fixtures (definite article + conjunction
+    # prefixes; plural/feminine/possessive suffixes; length guards)
+    ("الحسن", "حسن"), ("والحسن", "حسن"), ("بالحسن", "حسن"),
+    ("كالحسن", "حسن"), ("فالحسن", "حسن"), ("للاخر", "اخر"),
+    ("وحسن", "حسن"), ("زوجها", "زوج"), ("ساهدان", "ساهد"),
+    ("ساهدات", "ساهد"), ("ساهدون", "ساهد"), ("ساهدين", "ساهد"),
+    ("ساهديه", "ساهد"), ("ساهدية", "ساهد"), ("ساهده", "ساهد"),
+    ("ساهدة", "ساهد"), ("ساهدي", "ساهد"), ("وساهدون", "ساهد"),
+    ("ساهدهات", "ساهد"),
+    ("الو", "الو"),             # too short to strip the article
+    ("English", "English"),     # pass-through
+]
+
+ARABIC_NORM_GOLDEN = [
+    # TestArabicNormalizationFilter fixtures
+    ("آجن", "اجن"), ("أحمد", "احمد"), ("إعاذ", "اعاذ"),   # alef variants
+    ("بنى", "بني"),                                        # dotless yeh
+    ("فاطمة", "فاطمه"),                                     # teh marbuta
+    ("روبرـــــت", "روبرت"),                                 # tatweel
+    ("مَبنا", "مبنا"), ("علِي", "علي"), ("بُوات", "بوات"),     # harakat
+    ("ولداً", "ولدا"), ("ولدٍ", "ولد"), ("ولدٌ", "ولد"),      # tanween
+]
+
+CZECH_STEM_GOLDEN = [
+    # TestCzechStemmer masculine-noun fixtures
+    ("pán", "pán"), ("páni", "pán"), ("pánové", "pán"), ("pána", "pán"),
+    ("pánů", "pán"), ("pánovi", "pán"), ("pánům", "pán"), ("pány", "pán"),
+    ("páne", "pán"), ("pánech", "pán"), ("pánem", "pán"),
+    ("hrad", "hrad"), ("hradu", "hrad"), ("hradem", "hrad"),
+    ("hradech", "hrad"), ("hradů", "hrad"),
+    ("muž", "muh"),            # palatal normalization ž -> h
+]
+
+
+@pytest.mark.parametrize("word,expect", ARABIC_STEM_GOLDEN)
+def test_arabic_stem_golden(word, expect):
+    assert arabic_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", ARABIC_NORM_GOLDEN)
+def test_arabic_normalize_golden(word, expect):
+    assert arabic_normalize(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", CZECH_STEM_GOLDEN)
+def test_czech_stem_golden(word, expect):
+    assert czech_stem(word) == expect
+
+
+class TestArabicCzechChains:
+    def test_arabic_chain(self):
+        toks = arabic_analyze("والحسن في زوجها")
+        # "في" is an Arabic stopword
+        assert "في" in ARABIC_STOP_WORDS
+        assert [t.term for t in toks] == ["حسن", "زوج"]
+
+    def test_czech_chain(self):
+        assert "jseš" in CZECH_STOP_WORDS
+        toks = czech_analyze("páni hradů jseš")
+        assert [t.term for t in toks] == ["pán", "hrad"]
