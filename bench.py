@@ -169,6 +169,22 @@ def main() -> None:
                 .select("embedding").first()[0])
     timed("cosine_topk", lambda: SIM.cosine_topk(emb, qvec, k=10).collect())
 
+    # early-terminated sorted top-k over the synthetic pages (index-time
+    # sort paid once, then seg_pos<k prune) vs the full global sort
+    from lucene_solr_old_spark.operators.earlyterm import (
+        early_terminating_topk, sort_segments)
+    pages_len = pages.select(
+        "url", F.length("html").alias("html_len"))
+    store = sort_segments(pages_len, "html_len", ascending=False,
+                          num_segments=16, key_col="url").persist()
+    store.count()
+    timed("sort_full", lambda: pages_len.orderBy(
+        F.desc("html_len"), F.asc("url")).limit(20).collect())
+    timed("sort_early", lambda: early_terminating_topk(
+        store, 20, sort_col="html_len", ascending=False,
+        key_col="url").collect())
+    store.unpersist()
+
     # --- rank-identity rate vs an in-process oracle (the BASELINE metric) --
     def identity_rate():
         from collections import Counter
