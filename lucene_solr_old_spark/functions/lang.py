@@ -46,6 +46,11 @@ Analyzer chains registered on import (ANALYZERS registry):
                         (``ar/ArabicAnalyzer.java`` :140-148)
   * ``czech``           Standard -> lowercase -> czech stop -> CzechStem
                         (``cz/CzechAnalyzer.java``)
+  * ``indonesian`` / ``hindi`` / ``bulgarian`` core stemming chains, plus
+    :func:`norwegian_light_stem` / :func:`norwegian_minimal_stem`
+    (Bokmål/Nynorsk flags), :func:`persian_normalize`, and
+    :func:`turkish_lowercase` (the dotted/dotless-i rules) as standalone
+    filters
 
 Every light stemmer here is validated bit-exact against the reference's
 full test vocabularies (fr 77 goldens; de 35,033; es 28,377; it 35,494;
@@ -78,7 +83,11 @@ __all__ = ["english_minimal_stem", "kstem", "elide", "french_light_stem",
            "swedish_light_analyze", "finnish_light_analyze",
            "arabic_normalize", "arabic_stem", "arabic_analyze",
            "czech_stem", "czech_analyze",
-           "ARABIC_STOP_WORDS", "CZECH_STOP_WORDS"]
+           "ARABIC_STOP_WORDS", "CZECH_STOP_WORDS",
+           "norwegian_light_stem", "norwegian_minimal_stem",
+           "bulgarian_stem", "hindi_normalize", "hindi_stem",
+           "indonesian_stem", "persian_normalize", "turkish_lowercase",
+           "indonesian_analyze", "hindi_analyze", "bulgarian_analyze"]
 
 
 def english_minimal_stem(s: str) -> str:
@@ -1119,6 +1128,458 @@ def czech_analyze(text: str) -> list[Token]:
     return out
 
 
+
+# -- Norwegian (Bokmål / Nynorsk light + minimal stemmers) -------------------
+
+def norwegian_light_stem(s: str, *, bokmaal: bool = True,
+                         nynorsk: bool = False) -> str:
+    """``no/NorwegianLightStemmer.java:85-175``, exact (flag-gated Bokmål
+    and Nynorsk endings; genitive -s first, then one suffix pass)."""
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and ((bokmaal and s[-5:] in ("heter", "heten"))
+                  or (nynorsk and s.endswith("heita"))):
+        return s[:-5]
+    if n > 8 and nynorsk and s[-6:] in ("heiter", "leiken", "leikar"):
+        return s[:-6]
+    if n > 5 and (s.endswith("dom") or (bokmaal and s.endswith("het"))):
+        return s[:-3]
+    if n > 6 and nynorsk and s[-4:] in ("heit", "semd", "leik"):
+        return s[:-4]
+    if n > 7 and s[-5:] in ("elser", "elsen"):
+        return s[:-5]
+    if n > 6 and ((bokmaal and s[-4:] in ("ende", "este", "eren"))
+                  or (nynorsk and s[-4:] in ("ande", "aste", "aren"))
+                  or s.endswith("else")):
+        return s[:-4]
+    if n > 5 and ((bokmaal and s[-3:] in ("ere", "est"))
+                  or (nynorsk and s[-3:] in ("are", "ast", "ane"))
+                  or s.endswith("ene")):
+        return s[:-3]
+    if n > 4 and (s[-2:] in ("er", "en", "et", "te")
+                  or (nynorsk and s.endswith("ar"))
+                  or (bokmaal and s.endswith("st"))):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+def norwegian_minimal_stem(s: str, *, bokmaal: bool = True,
+                           nynorsk: bool = False) -> str:
+    """``no/NorwegianMinimalStemmer.java:82-110``, exact (plural forms and
+    genitive -s only)."""
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 5 and (s.endswith("ene") or (nynorsk and s.endswith("ane"))):
+        return s[:-3]
+    if n > 4 and (s[-2:] in ("er", "en", "et")
+                  or (nynorsk and s.endswith("ar"))):
+        return s[:-2]
+    if n > 3 and s[-1] in "ae":
+        return s[:-1]
+    return s
+
+
+# -- Bulgarian ----------------------------------------------------------------
+
+def _bg_remove_article(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith("ият"):
+        return s[:-3]
+    if n > 5 and s[-2:] in ("ът", "то", "те",
+                            "та", "ия"):
+        return s[:-2]
+    if n > 4 and s.endswith("ят"):
+        return s[:-2]
+    return s
+
+
+def _bg_remove_plural(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s.endswith("овци"):
+            return s[:-3]
+        if s.endswith("ове"):
+            return s[:-3]
+        if s.endswith("еве"):
+            return s[:-3] + "й"
+    if n > 5:
+        if s.endswith("ища"):
+            return s[:-3]
+        if s.endswith("та"):
+            return s[:-2]
+        if s.endswith("ци"):
+            return s[:-2] + "к"
+        if s.endswith("зи"):
+            return s[:-2] + "г"
+        if s[-3] == "е" and s[-1] == "и":
+            return s[:-3] + "я" + s[-2]
+    if n > 4:
+        if s.endswith("си"):
+            return s[:-2] + "х"
+        if s.endswith("и"):
+            return s[:-1]
+    return s
+
+
+def bulgarian_stem(s: str) -> str:
+    """``bg/BulgarianStemmer.java`` (the light stemmer of Nakov's
+    BulStem / Savoy), exact: -ishta, definite article, plural (with the
+    k/g/x palatalization recoveries), trailing vowels, en->n, and the
+    fleeting-ъ removal."""
+    if len(s) < 4:
+        return s
+    if len(s) > 5 and s.endswith("ища"):
+        return s[:-3]
+    s = _bg_remove_article(s)
+    s = _bg_remove_plural(s)
+    if len(s) > 3:
+        if s.endswith("я"):
+            s = s[:-1]
+        if len(s) > 3 and s[-1] in ("а", "о", "е"):
+            s = s[:-1]
+    if len(s) > 4 and s.endswith("ен"):
+        s = s[:-2] + "н"
+    if len(s) > 5 and s[-2] == "ъ":
+        s = s[:-2] + s[-1]
+    return s
+
+
+BULGARIAN_STOP_WORDS = frozenset()  # reference ships none in 4.x common
+
+
+# -- Hindi --------------------------------------------------------------------
+
+_HI_MAP = {
+    "ँ": "ं",                                  # candrabindu
+    "ऩ": "न", "ऱ": "र", "ऴ": "ळ",
+    "क़": "क", "ख़": "ख", "ग़": "ग",
+    "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
+    "फ़": "फ", "य़": "य",              # nukta forms
+    "ॅ": "े", "ॆ": "े",              # chandra/short e
+    "ॉ": "ो", "ॊ": "ो",
+    "ऍ": "ए", "ऎ": "ए",
+    "ऑ": "ओ", "ऒ": "ओ", "ॲ": "अ",
+    "आ": "अ", "ई": "इ", "ऊ": "उ",  # long->short
+    "ॠ": "ऋ", "ॡ": "ऌ",
+    "ऐ": "ए", "औ": "ओ",
+    "ी": "ि", "ू": "ु", "ॄ": "ृ",
+    "ॣ": "ॢ", "ै": "े", "ौ": "ो",
+}
+_HI_DELETE = frozenset(["़", "‍", "‌", "्"])
+
+
+def hindi_normalize(s: str) -> str:
+    """``hi/HindiNormalizer.java`` (Ljiljana & Savoy orthographic
+    normalization + Larkey's zwj/dead-n additions), exact: dead-n and
+    candrabindu to anusvara, nukta form folding, zwj/zwnj/virama/nukta
+    removal, chandra and long vowels to their short forms."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "न" and i + 1 < n and s[i + 1] == "्":
+            out.append("ं")
+            i += 2
+            continue
+        if c in _HI_DELETE:
+            i += 1
+            continue
+        out.append(_HI_MAP.get(c, c))
+        i += 1
+    return "".join(out)
+
+
+_HI_SUF_5 = ("ाएंगी", "ाएंगे",
+             "ाऊंगी", "ाऊंगा",
+             "ाइयाँ", "ाइयों",
+             "ाइयां")
+_HI_SUF_4 = ("ाएगी", "ाएगा",
+             "ाओगी", "ाओगे",
+             "एंगी", "ेंगी",
+             "एंगे", "ेंगे",
+             "ूंगी", "ूंगा",
+             "ातीं", "नाओं",
+             "नाएं", "ताओं",
+             "ताएं", "ियाँ",
+             "ियों", "ियां")
+_HI_SUF_3 = ("ाकर", "ाइए", "ाईं",
+             "ाया", "ेगी", "ेगा",
+             "ोगी", "ोगे", "ाने",
+             "ाना", "ाते", "ाती",
+             "ाता", "तीं", "ाओं",
+             "ाएं", "ुओं", "ुएं",
+             "ुआं")
+_HI_SUF_2 = ("कर", "ाओ", "िए", "ाई",
+             "ाए", "ने", "नी", "ना",
+             "ते", "ीं", "ती", "ता",
+             "ाँ", "ां", "ों", "ें")
+_HI_SUF_1 = ("ो", "े", "ू", "ु", "ी", "ि",
+             "ा")
+
+
+def hindi_stem(s: str) -> str:
+    """``hi/HindiStemmer.java`` (Larkey's lightweight Hindi stemmer),
+    exact: longest-first suffix strip with per-length word minimums."""
+    n = len(s)
+    if n > 6 and s[-5:] in _HI_SUF_5:
+        return s[:-5]
+    if n > 5 and s[-4:] in _HI_SUF_4:
+        return s[:-4]
+    if n > 4 and s[-3:] in _HI_SUF_3:
+        return s[:-3]
+    if n > 3 and s[-2:] in _HI_SUF_2:
+        return s[:-2]
+    if n > 2 and s[-1] in _HI_SUF_1:
+        return s[:-1]
+    return s
+
+
+# -- Indonesian ---------------------------------------------------------------
+
+_ID_VOWELS = frozenset("aeiou")
+
+
+class _IndonesianState:
+    __slots__ = ("syllables", "flags")
+
+
+def indonesian_stem(s: str, derivational: bool = True) -> str:
+    """``id/IndonesianStemmer.java`` (Asian, Williams & Tahaghoghi),
+    exact: particle and possessive-pronoun removal, then (derivational)
+    first-order prefix / suffix / second-order prefix with the
+    prefix-suffix co-occurrence restrictions and the syllable floor."""
+    st = _IndonesianState()
+    st.flags = 0
+    st.syllables = sum(1 for c in s if c in _ID_VOWELS)
+    if st.syllables > 2:
+        s = _id_particle(st, s)
+    if st.syllables > 2:
+        s = _id_possessive(st, s)
+    if derivational:
+        old = s
+        if st.syllables > 2:
+            s = _id_first_prefix(st, s)
+        if s != old:
+            old = s
+            if st.syllables > 2:
+                s = _id_suffix(st, s)
+            if s != old and st.syllables > 2:
+                s = _id_second_prefix(st, s)
+        else:
+            if st.syllables > 2:
+                s = _id_second_prefix(st, s)
+            if st.syllables > 2:
+                s = _id_suffix(st, s)
+    return s
+
+
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64)
+
+
+def _id_particle(st, s):
+    if s.endswith(("kah", "lah", "pun")):
+        st.syllables -= 1
+        return s[:-3]
+    return s
+
+
+def _id_possessive(st, s):
+    if s.endswith(("ku", "mu")):
+        st.syllables -= 1
+        return s[:-2]
+    if s.endswith("nya"):
+        st.syllables -= 1
+        return s[:-3]
+    return s
+
+
+def _id_first_prefix(st, s):
+    if s.startswith("meng"):
+        st.flags |= _ID_MENG
+        st.syllables -= 1
+        return s[4:]
+    if s.startswith("meny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        st.flags |= _ID_MENG
+        st.syllables -= 1
+        return "s" + s[4:]
+    if s.startswith("men"):
+        st.flags |= _ID_MENG
+        st.syllables -= 1
+        return s[3:]
+    if s.startswith("mem"):
+        st.flags |= _ID_MENG
+        st.syllables -= 1
+        return s[3:]
+    if s.startswith("me"):
+        st.flags |= _ID_MENG
+        st.syllables -= 1
+        return s[2:]
+    if s.startswith("peng"):
+        st.flags |= _ID_PENG
+        st.syllables -= 1
+        return s[4:]
+    if s.startswith("peny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        st.flags |= _ID_PENG
+        st.syllables -= 1
+        return "s" + s[4:]
+    if s.startswith("peny"):
+        st.flags |= _ID_PENG
+        st.syllables -= 1
+        return s[4:]
+    if s.startswith("pen") and len(s) > 3 and s[3] in _ID_VOWELS:
+        st.flags |= _ID_PENG
+        st.syllables -= 1
+        return "t" + s[3:]
+    if s.startswith("pen"):
+        st.flags |= _ID_PENG
+        st.syllables -= 1
+        return s[3:]
+    if s.startswith("pem"):
+        st.flags |= _ID_PENG
+        st.syllables -= 1
+        return s[3:]
+    if s.startswith("di"):
+        st.flags |= _ID_DI
+        st.syllables -= 1
+        return s[2:]
+    if s.startswith("ter"):
+        st.flags |= _ID_TER
+        st.syllables -= 1
+        return s[3:]
+    if s.startswith("ke"):
+        st.flags |= _ID_KE
+        st.syllables -= 1
+        return s[2:]
+    return s
+
+
+def _id_second_prefix(st, s):
+    if s.startswith("ber"):
+        st.flags |= _ID_BER
+        st.syllables -= 1
+        return s[3:]
+    if s == "belajar":
+        st.flags |= _ID_BER
+        st.syllables -= 1
+        return s[3:]
+    if (s.startswith("be") and len(s) > 4
+            and s[2] not in _ID_VOWELS and s[3] == "e" and s[4] == "r"):
+        st.flags |= _ID_BER
+        st.syllables -= 1
+        return s[2:]
+    if s.startswith("per"):
+        st.syllables -= 1
+        return s[3:]
+    if s == "pelajar":
+        st.syllables -= 1
+        return s[3:]
+    if s.startswith("pe"):
+        st.flags |= _ID_PE
+        st.syllables -= 1
+        return s[2:]
+    return s
+
+
+def _id_suffix(st, s):
+    if (s.endswith("kan") and not st.flags & _ID_KE
+            and not st.flags & _ID_PENG and not st.flags & _ID_PE):
+        st.syllables -= 1
+        return s[:-3]
+    if (s.endswith("an") and not st.flags & _ID_DI
+            and not st.flags & _ID_MENG and not st.flags & _ID_TER):
+        st.syllables -= 1
+        return s[:-2]
+    if (s.endswith("i") and not s.endswith("si")
+            and not st.flags & _ID_BER and not st.flags & _ID_KE
+            and not st.flags & _ID_PENG):
+        st.syllables -= 1
+        return s[:-1]
+    return s
+
+
+# -- Persian / Turkish --------------------------------------------------------
+
+_FA_MAP = {
+    "ی": "ي", "ے": "ي",   # farsi yeh / yeh barree
+    "ک": "ك",                       # keheh -> kaf
+    "ۀ": "ه", "ہ": "ه",   # heh+yeh / heh goal -> heh
+}
+
+
+def persian_normalize(s: str) -> str:
+    """``fa/PersianNormalizer.java`` — farsi yeh and yeh barree to arabic
+    yeh, keheh to kaf, heh variants to heh, hamza-above removed."""
+    return "".join(_FA_MAP.get(c, c) for c in s
+                   if c != "ٔ")
+
+
+def turkish_lowercase(s: str) -> str:
+    """``tr/TurkishLowerCaseFilter.java:56-95`` — Turkish-aware lowering:
+    capital I becomes dotless ı unless followed (through combining
+    marks) by a combining dot above, in which case the dot is consumed and
+    I becomes a regular i; composed İ lowers to plain i."""
+    import unicodedata
+    out = []
+    i, n = 0, len(s)
+    i_or_after = False
+    while i < n:
+        c = s[i]
+        i_or_after = (c == "I") or (
+            i_or_after and unicodedata.category(c) == "Mn")
+        if i_or_after:
+            if c == "̇":                 # combining dot above: consume
+                i += 1
+                continue
+            if c == "I":
+                j, before_dot = i + 1, False
+                while j < n:
+                    if unicodedata.category(s[j]) != "Mn":
+                        break
+                    if s[j] == "̇":
+                        before_dot = True
+                        break
+                    j += 1
+                out.append("i" if before_dot else "ı")
+                if not before_dot:
+                    i_or_after = False
+                i += 1
+                continue
+        if c == "İ":                     # composed dotted capital I
+            out.append("i")
+        else:
+            out.append(c.lower())
+        i += 1
+    return "".join(out)
+
+
+def indonesian_analyze(text: str) -> list[Token]:
+    """IndonesianAnalyzer: Standard -> LowerCase -> Stop(id) -> IndonesianStem
+    (stop set omitted here: the reference loads it from stopwords.txt; we
+    apply stemming on every token)."""
+    return [Token(indonesian_stem(term.lower()), pos, start, end)
+            for term, pos, start, end in standard_tokenize(text)]
+
+
+def hindi_analyze(text: str) -> list[Token]:
+    """HindiAnalyzer core chain: lowercase -> HindiNormalizer -> HindiStem
+    (the reference also runs IndicNormalizationFilter for broken-encoding
+    repair first — out of scope here and a no-op on well-formed text)."""
+    return [Token(hindi_stem(hindi_normalize(term.lower())),
+                  pos, start, end)
+            for term, pos, start, end in standard_tokenize(text)]
+
+
+def bulgarian_analyze(text: str) -> list[Token]:
+    """BulgarianAnalyzer core chain: lowercase -> BulgarianStem."""
+    return [Token(bulgarian_stem(term.lower()), pos, start, end)
+            for term, pos, start, end in standard_tokenize(text)]
+
+
 # -- analyzer chains ----------------------------------------------------------
 
 def english_kstem_analyze(text: str) -> list[Token]:
@@ -1187,6 +1648,9 @@ def _register():
     register_analyzer("finnish_light", finnish_light_analyze)
     register_analyzer("arabic", arabic_analyze)
     register_analyzer("czech", czech_analyze)
+    register_analyzer("indonesian", indonesian_analyze)
+    register_analyzer("hindi", hindi_analyze)
+    register_analyzer("bulgarian", bulgarian_analyze)
 
 
 _register()

