@@ -87,7 +87,8 @@ __all__ = ["english_minimal_stem", "kstem", "elide", "french_light_stem",
            "norwegian_light_stem", "norwegian_minimal_stem",
            "bulgarian_stem", "hindi_normalize", "hindi_stem",
            "indonesian_stem", "persian_normalize", "turkish_lowercase",
-           "indonesian_analyze", "hindi_analyze", "bulgarian_analyze"]
+           "indonesian_analyze", "hindi_analyze", "bulgarian_analyze",
+           "latvian_stem", "latvian_analyze"]
 
 
 def english_minimal_stem(s: str) -> str:
@@ -1580,6 +1581,78 @@ def bulgarian_analyze(text: str) -> list[Token]:
             for term, pos, start, end in standard_tokenize(text)]
 
 
+
+# -- Latvian ------------------------------------------------------------------
+
+_LV_VOWELS = frozenset("aeiouāīēū")
+# (affix, vowel-count-of-suffix, palatalizes) — tried in order;
+# LatvianStemmer.java:41-67: fires when the word keeps > vc vowels and
+# >= 3 chars of stem
+_LV_AFFIXES = [
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+]
+
+
+def _lv_unpalatalize(s: str, removed_first: str) -> str:
+    """LatvianStemmer.unpalatalize (:95-155): undo declension II/V/VI
+    palatalization; the -u genitive-plural rules see the removed char."""
+    if removed_first == "u":
+        if s.endswith("kš"):
+            return s[:-1] + "st"
+        if s.endswith("ņņ"):
+            return s[:-2] + "nn"
+    if s.endswith(("pj", "bj", "mj", "vj")):
+        return s[:-1]
+    if s.endswith("šņ"):
+        return s[:-2] + "sn"
+    if s.endswith("žņ"):
+        return s[:-2] + "zn"
+    if s.endswith("šļ"):
+        return s[:-2] + "sl"
+    if s.endswith("žļ"):
+        return s[:-2] + "zl"
+    if s.endswith("ļņ"):
+        return s[:-2] + "ln"
+    if s.endswith("ļļ"):
+        return s[:-2] + "ll"
+    if s.endswith("č"):
+        return s[:-1] + "c"
+    if s.endswith("ļ"):
+        return s[:-1] + "l"
+    if s.endswith("ņ"):
+        return s[:-1] + "n"
+    return s
+
+
+def latvian_stem(s: str) -> str:
+    """``lv/LatvianStemmer.java`` (light stemmer: primary inflectional
+    suffixes only), exact."""
+    nv = sum(1 for c in s if c in _LV_VOWELS)
+    for affix, vc, pal in _LV_AFFIXES:
+        if nv > vc and len(s) >= len(affix) + 3 and s.endswith(affix):
+            stem = s[: len(s) - len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if pal else stem
+    return s
+
+
+def latvian_analyze(text: str) -> list[Token]:
+    """LatvianAnalyzer core chain: Standard -> LowerCase -> LatvianStem."""
+    return [Token(latvian_stem(term.lower()), pos, start, end)
+            for term, pos, start, end in standard_tokenize(text)]
+
+
 # -- analyzer chains ----------------------------------------------------------
 
 def english_kstem_analyze(text: str) -> list[Token]:
@@ -1651,6 +1724,7 @@ def _register():
     register_analyzer("indonesian", indonesian_analyze)
     register_analyzer("hindi", hindi_analyze)
     register_analyzer("bulgarian", bulgarian_analyze)
+    register_analyzer("latvian", latvian_analyze)
 
 
 _register()

