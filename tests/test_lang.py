@@ -657,3 +657,43 @@ LATVIAN_GOLDEN = [
 @pytest.mark.parametrize("word,expect", LATVIAN_GOLDEN)
 def test_latvian_golden(word, expect):
     assert latvian_stem(word) == expect
+
+
+# -- Greek --------------------------------------------------------------------
+
+from lucene_solr_old_spark.functions.greek import (  # noqa: E402
+    GREEK_STOP_WORDS, greek_analyze, greek_lowercase, greek_stem)
+
+GREEK_GOLDEN = [
+    # representative TestGreekStemmer fixtures (all 343 inline fixtures
+    # pass against this port — checked in development); each row
+    # exercises a different rule family
+    ("καθεστωτα", "καθεστ"),        # rule0 long compounds
+    ("γιαγιαδων", "γιαγι"),          # rule1 exception (no -αδ add-back)
+    ("ομαδεσ", "ομαδ"),              # rule1 add-back
+    ("γηπεδων", "γηπεδ"),            # rule2 add-back
+    ("καλιακουδων", "καλιακουδ"),    # rule3 add-back
+    ("εξωδικα", "εξωδικ"),           # rule6 exception add-back
+    ("χτυπαγαμε", "χτυπ"),           # rule7
+    ("χρησιμοποιηθηκανε", "χρησιμοποι"),  # rule8
+    ("αγαπησετε", "αγαπ"),           # rule9
+    ("υποταγεσ", "υποταγ"),          # rule15 add-back (-τ in exc15a)
+    ("ομορφοτερη", "ομορφ"),         # rule21+22
+]
+
+
+@pytest.mark.parametrize("word,expect", GREEK_GOLDEN)
+def test_greek_stem_golden(word, expect):
+    assert greek_stem(greek_lowercase(word)) == expect
+
+
+class TestGreekChain:
+    def test_lowercase_final_sigma_and_tonos(self):
+        assert greek_lowercase("Ἀθήνα".replace("Ἀ", "Α")) == "αθηνα"
+        assert greek_lowercase("λόγος") == "λογοσ"   # ς -> σ, ό -> ο
+
+    def test_chain_drops_stopwords(self):
+        assert "και" in GREEK_STOP_WORDS
+        toks = greek_analyze("Η γρήγορη αλεπού και ο σκύλος")
+        assert "και" not in [t.term for t in toks]
+        assert toks[0].term == "γρηγορ"
