@@ -88,7 +88,8 @@ __all__ = ["english_minimal_stem", "kstem", "elide", "french_light_stem",
            "bulgarian_stem", "hindi_normalize", "hindi_stem",
            "indonesian_stem", "persian_normalize", "turkish_lowercase",
            "indonesian_analyze", "hindi_analyze", "bulgarian_analyze",
-           "latvian_stem", "latvian_analyze"]
+           "latvian_stem", "latvian_analyze",
+           "irish_lowercase", "irish_analyze", "IRISH_STOP_WORDS"]
 
 
 def english_minimal_stem(s: str) -> str:
@@ -1653,6 +1654,50 @@ def latvian_analyze(text: str) -> list[Token]:
             for term, pos, start, end in standard_tokenize(text)]
 
 
+
+# -- Irish --------------------------------------------------------------------
+
+IRISH_STOP_WORDS = frozenset("""
+a ach ag agus an aon ar arna as b' ba beirt bhúr caoga ceathair ceathrar
+chomh chtó chuig chun cois céad cúig cúigear d' daichead dar de deich
+deichniúr den dhá do don dtí dá dár dó faoi faoin faoina faoinár fara
+fiche gach gan go gur haon hocht i iad idir in ina ins inár is le leis
+lena lenár m' mar mo mé na nach naoi naonúr ná ní níor nó nócha ocht
+ochtar os roimh sa seacht seachtar seachtó seasca seisear siad sibh sinn
+sna sé sí tar thar thú triúr trí trína trínár tríocha tú um ár é éis í ó
+ón óna ónár
+""".split())
+
+_GA_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+IRISH_ARTICLES = frozenset(["d", "m", "b"])    # IrishAnalyzer.java:47-51
+IRISH_HYPHENATIONS = frozenset(["h", "n", "t"])  # :58-62 (pre-elision stop)
+
+
+def irish_lowercase(s: str) -> str:
+    """``ga/IrishLowerCaseFilter.java:41-65`` — inserts the hyphen of
+    t-prothesis / n-eclipsis ("nAthair" -> "n-athair") before lowering."""
+    if len(s) > 1 and s[0] in ("n", "t") and s[1] in _GA_UPPER_VOWELS:
+        return s[0] + "-" + s[1:].lower()
+    return s.lower()
+
+
+def irish_analyze(text: str) -> list[Token]:
+    """IrishAnalyzer.createComponents (:136-148) minus the Snowball
+    IrishStemmer (not shipped — documented non-goal): Standard ->
+    Stop(hyphenation particles) -> Elision(d/m/b) -> IrishLowerCase ->
+    Stop(irish).  The hyphenation stop runs BEFORE lowercasing (it
+    removes the bare t/n/h particles StandardTokenizer splits off)."""
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        if term in IRISH_HYPHENATIONS:
+            continue
+        t = irish_lowercase(elide(term, IRISH_ARTICLES))
+        if not t or t in IRISH_STOP_WORDS:
+            continue
+        out.append(Token(t, pos, start, end))
+    return out
+
+
 # -- analyzer chains ----------------------------------------------------------
 
 def english_kstem_analyze(text: str) -> list[Token]:
@@ -1725,6 +1770,7 @@ def _register():
     register_analyzer("hindi", hindi_analyze)
     register_analyzer("bulgarian", bulgarian_analyze)
     register_analyzer("latvian", latvian_analyze)
+    register_analyzer("irish", irish_analyze)
 
 
 _register()

@@ -697,3 +697,22 @@ class TestGreekChain:
         toks = greek_analyze("Η γρήγορη αλεπού και ο σκύλος")
         assert "και" not in [t.term for t in toks]
         assert toks[0].term == "γρηγορ"
+
+
+# -- Irish --------------------------------------------------------------------
+
+from lucene_solr_old_spark.functions.lang import (  # noqa: E402
+    IRISH_STOP_WORDS, irish_analyze, irish_lowercase)
+
+
+def test_irish_lowercase():
+    # TestIrishLowerCaseFilter: t-prothesis / n-eclipsis hyphen insertion
+    assert irish_lowercase("nAthair") == "n-athair"
+    assert irish_lowercase("tUISCE") == "t-uisce"
+    assert irish_lowercase("hARD") == "hard"
+
+
+def test_irish_chain():
+    assert "an" in IRISH_STOP_WORDS
+    toks = irish_analyze("d'Athair an tUISCE")
+    assert [t.term for t in toks] == ["athair", "t-uisce"]
