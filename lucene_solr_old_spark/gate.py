@@ -2561,6 +2561,62 @@ def _q_url_normalize(spark, sf_dir):
             .select("doc_id", "url_norm").orderBy("doc_id"))
 
 
+@_reg("nb_classify", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS term
+  FROM documents),
+tok_counts AS (SELECT doc_id, term, count(*) AS n_w
+               FROM toks GROUP BY 1, 2),
+doclen AS (SELECT doc_id, sum(n_w) AS n_tokens
+           FROM tok_counts GROUP BY 1),
+doc_terms AS (SELECT DISTINCT doc_id, term FROM toks),
+consts AS (SELECT (SELECT count(*) FROM doc_terms)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avg_unique,
+                  (SELECT count(*) FROM documents
+                   WHERE lang IS NOT NULL) AS dwc),
+classes AS (SELECT lang AS cls, count(*) AS docs_with_c
+            FROM documents GROUP BY 1),
+cstats AS (SELECT cls, docs_with_c,
+                  ln(docs_with_c::DOUBLE / dwc) AS log_prior,
+                  ln(avg_unique * docs_with_c + dwc) AS log_den
+           FROM classes, consts),
+wc AS (SELECT dt.term, d.lang AS cls,
+              count(DISTINCT dt.doc_id) AS hits
+       FROM doc_terms dt JOIN documents d USING(doc_id)
+       GROUP BY 1, 2),
+pairs AS (SELECT tc.doc_id, tc.term, tc.n_w, c.cls
+          FROM tok_counts tc
+          CROSS JOIN (SELECT cls FROM classes) c),
+scored AS (SELECT p.doc_id, p.cls,
+                  sum(p.n_w * ln(coalesce(w.hits, 0) + 1.0)) AS num
+           FROM pairs p
+           LEFT JOIN wc w ON w.term = p.term AND w.cls = p.cls
+           GROUP BY 1, 2),
+total AS (SELECT s.doc_id, s.cls,
+                 cs.log_prior + s.num - dl.n_tokens * cs.log_den
+                   AS log_score
+          FROM scored s
+          JOIN doclen dl USING (doc_id)
+          JOIN cstats cs USING (cls)),
+best AS (SELECT doc_id, cls, round(log_score, 6) AS log_score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY log_score DESC, cls) AS rk
+         FROM total)
+SELECT doc_id, cls, log_score FROM best WHERE rk = 1
+ORDER BY doc_id""")
+def _q_nb_classify(spark, sf_dir):
+    # SimpleNaiveBayesClassifier: train on (text, lang), classify every
+    # doc; argmax in log space, ties (score desc, class asc) = the
+    # reference's ascending TermsEnum with strictly-greater replacement
+    from .operators.classify import nb_classify, train_naive_bayes
+
+    docs = _docs(spark, sf_dir)
+    model = train_naive_bayes(docs, class_col="lang")
+    return nb_classify(model, docs).orderBy("doc_id")
+
+
 @_reg("early_terminate_sort", """
 SELECT doc_id, n_chars
 FROM documents
@@ -2608,7 +2664,8 @@ _PRIORITY: list[str] = [
     # -- new in round 3 / implementation changed (must certify) --
     "regexp_query", "kstem_search", "french_search", "german_search",
     "spanish_search", "early_terminate_sort", "repetition_stats",
-    "dup_components", "url_normalize", "fuzzy_query", "freetext_suggest",
+    "dup_components", "url_normalize", "nb_classify",
+    "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable.  Rotated out in favor of
     # the r3 gates (all double-green r01+r02; they re-enter on the
     # post-window rotation): bool_must_not, prefix_query, range_query,
@@ -2618,7 +2675,7 @@ _PRIORITY: list[str] = [
     "dismax", "phrase_query", "wand_topk",
     "dedup_exact", "dedup_minhash",
     "ann_search",
-    "langid", "doc_fingerprint", "multimodal_meta",
+    "doc_fingerprint", "multimodal_meta",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Classification module (operators/classify.py) — SimpleNaiveBayes and
+KNearestNeighbor classifiers; nb_classify is also driver-certified by its
+gate against a full DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_old_spark.operators.classify import (
+    knn_classify, nb_classify, train_naive_bayes)
+from lucene_solr_old_spark.operators.indexer import build_index
+
+DOCS = [
+    # two separable topics
+    (1, "spark shuffle executor partition spark", "eng"),
+    (2, "executor shuffle stage spark partition", "eng"),
+    (3, "spark partition codegen executor", "eng"),
+    (4, "recipe butter sugar flour oven", "cook"),
+    (5, "oven sugar dough butter recipe", "cook"),
+    (6, "flour dough butter oven recipe", "cook"),
+]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING, cls STRING")
+
+
+def test_nb_classifies_held_out(spark, frame):
+    model = train_naive_bayes(frame, class_col="cls")
+    probe = spark.createDataFrame(
+        [(100, "spark executor shuffle"), (101, "butter oven dough")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r.cls for r in nb_classify(model, probe).collect()}
+    assert got == {100: "eng", 101: "cook"}
+
+
+def test_nb_matches_hand_computation(spark, frame):
+    # hand-compute the reference formula for doc 100 = "spark"
+    model = train_naive_bayes(frame, class_col="cls")
+    probe = spark.createDataFrame([(100, "spark")], "doc_id LONG, text STRING")
+    row = nb_classify(model, probe).collect()[0]
+    # stats: 6 docs, doc_terms pairs = 4+5+4+5+5+5 = 28 -> avg_unique=28/6
+    # eng: docs_with_c=3, hits(spark,eng)=3; prior=3/6
+    # den = 28/6*3 + 6 = 20 ; score = ln(0.5) + ln(4) - ln(20)
+    want = math.log(0.5) + math.log(4.0) - math.log(28 / 6 * 3 + 6)
+    assert row.cls == "eng"
+    assert abs(row.log_score - round(want, 6)) < 1e-6
+
+
+def test_nb_tie_breaks_ascending_class(spark):
+    # identical corpora per class -> identical scores; "a" must win
+    df = spark.createDataFrame(
+        [(1, "x y", "b"), (2, "x y", "a")], "doc_id LONG, text STRING, cls STRING")
+    model = train_naive_bayes(df, class_col="cls")
+    probe = spark.createDataFrame([(9, "x")], "doc_id LONG, text STRING")
+    assert nb_classify(model, probe).collect()[0].cls == "a"
+
+
+def test_knn_majority_vote(spark, frame):
+    idx = build_index(
+        frame.select(F.col("doc_id").cast("string").alias("key"), "text"),
+        key_col="key", text_col="text", num_segments=2,
+        analyzer="ws_stop").persist()
+    train_classes = frame.select(
+        F.col("doc_id").cast("string").alias("key"), "cls")
+    probe = spark.createDataFrame(
+        [(200, "spark shuffle partition"), (201, "sugar flour oven")],
+        "doc_id LONG, text STRING")
+    out = {r.doc_id: (r.cls, r.score)
+           for r in knn_classify(idx, train_classes, probe, k=3).collect()}
+    assert out[200][0] == "eng" and out[201][0] == "cook"
+    assert out[200][1] == 1.0          # all 3 neighbors agree
