@@ -2561,6 +2561,42 @@ def _q_url_normalize(spark, sf_dir):
             .select("doc_id", "url_norm").orderBy("doc_id"))
 
 
+_SPATIAL_R = 2500.0
+
+@_reg("spatial_radius", f"""
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id % 160) - 80 + 0.5 AS lat,
+         ((doc_id * 7) % 360) - 180 + 0.5 AS lon
+  FROM documents),
+d AS (
+  SELECT doc_id, lat, lon,
+         2.0 * 6371.0087714 * asin(sqrt(
+             sin(radians(lat - 10.5) / 2) * sin(radians(lat - 10.5) / 2)
+             + cos(radians(10.5)) * cos(radians(lat))
+               * sin(radians(lon - 20.5) / 2)
+               * sin(radians(lon - 20.5) / 2))) AS dist_km
+  FROM pts)
+SELECT doc_id, round(dist_km, 6) AS dist_km
+FROM d
+WHERE dist_km <= {_SPATIAL_R}
+ORDER BY doc_id""")
+def _q_spatial_radius(spark, sf_dir):
+    # cell-pruned radius query (grid cells = the flat prefix-tree level;
+    # bbox prune -> exact haversine refine); oracle = full-scan haversine
+    from .operators.spatial import index_points, points_within_radius
+
+    pts = _docs(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("doc_id") % 160) - 80 + 0.5).alias("lat"),
+        (((F.col("doc_id") * 7) % 360) - 180 + 0.5).alias("lon"))
+    cells = index_points(pts, cell_deg=5.0)
+    hits = points_within_radius(cells, 10.5, 20.5, _SPATIAL_R,
+                                cell_deg=5.0)
+    return (hits.select("doc_id", F.round("dist_km", 6).alias("dist_km"))
+            .orderBy("doc_id"))
+
+
 @_reg("nb_classify", """
 WITH toks AS (
   SELECT doc_id,
@@ -2664,7 +2700,7 @@ _PRIORITY: list[str] = [
     # -- new in round 3 / implementation changed (must certify) --
     "regexp_query", "kstem_search", "french_search", "german_search",
     "spanish_search", "early_terminate_sort", "repetition_stats",
-    "dup_components", "url_normalize", "nb_classify",
+    "dup_components", "url_normalize", "nb_classify", "spatial_radius",
     "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable.  Rotated out in favor of
     # the r3 gates (all double-green r01+r02; they re-enter on the
@@ -2675,7 +2711,7 @@ _PRIORITY: list[str] = [
     "dismax", "phrase_query", "wand_topk",
     "dedup_exact", "dedup_minhash",
     "ann_search",
-    "doc_fingerprint", "multimodal_meta",
+    "doc_fingerprint",
 ]
 
 
