@@ -2561,6 +2561,40 @@ def _q_url_normalize(spark, sf_dir):
             .select("doc_id", "url_norm").orderBy("doc_id"))
 
 
+@_reg("payload_term", """
+WITH vals AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN ((doc_id % 7)::DOUBLE + (doc_id % 11)::DOUBLE + 1.0) / 3
+              ELSE ((doc_id % 7)::DOUBLE + (doc_id % 11)::DOUBLE) / 2
+         END AS score
+  FROM documents)
+SELECT doc_id, round(score, 6) AS score
+FROM vals
+ORDER BY score DESC, doc_id
+LIMIT 20""")
+def _q_payload_term(spark, sf_dir):
+    # DelimitedPayloadTokenFilter + PayloadTermQuery(avg,
+    # includeSpanScore=false): every doc gains "rank|a rank|b" payloaded
+    # tokens (every 5th also a bare "rank" scoring the 1.0 default); the
+    # oracle computes the same averages directly
+    from .operators.payloads import build_payload_postings, \
+        payload_term_search
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" rank|"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" rank|"), (F.col("doc_id") % 11).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" rank"))
+            .otherwise(F.lit(""))).alias("text"))
+    postings = build_payload_postings(docs)
+    return (payload_term_search(postings, "rank", func="avg", k=20)
+            .select(F.col("key").alias("doc_id"),
+                    F.round("score", 6).alias("score")))
+
+
 _SPATIAL_R = 2500.0
 
 @_reg("spatial_radius", f"""
@@ -2701,7 +2735,7 @@ _PRIORITY: list[str] = [
     "regexp_query", "kstem_search", "french_search", "german_search",
     "spanish_search", "early_terminate_sort", "repetition_stats",
     "dup_components", "url_normalize", "nb_classify", "spatial_radius",
-    "fuzzy_query", "freetext_suggest",
+    "payload_term", "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable.  Rotated out in favor of
     # the r3 gates (all double-green r01+r02; they re-enter on the
     # post-window rotation): bool_must_not, prefix_query, range_query,
@@ -2709,7 +2743,7 @@ _PRIORITY: list[str] = [
     # dup_components re-verifies transitively through its oracle) --
     "term_query", "bool_or", "bool_and",
     "dismax", "phrase_query", "wand_topk",
-    "dedup_exact", "dedup_minhash",
+    "dedup_exact",
     "ann_search",
     "doc_fingerprint",
 ]
