@@ -2561,6 +2561,38 @@ def _q_url_normalize(spark, sf_dir):
             .select("doc_id", "url_norm").orderBy("doc_id"))
 
 
+@_reg("decontaminate", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(t[gs:gs+4], ' ') AS gram
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 4)) AS gs
+        FROM base WHERE len(t) >= 5)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+ov AS (SELECT dg.doc_id, count(*) AS n_overlaps
+       FROM dg JOIN bench USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(ov.n_overlaps, 0) AS n_overlaps,
+       coalesce(ov.n_overlaps, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN ov USING (doc_id)
+ORDER BY d.doc_id""")
+def _q_decontaminate(spark, sf_dir):
+    # benchmark decontamination: every 50th doc plays the eval set; a
+    # training doc is contaminated when it shares any distinct 5-gram
+    # with the benchmark (13 is the production default; 5 gives the
+    # synthetic corpus signal)
+    from .operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return (decontaminate(docs, bench, n=5, min_overlap=1)
+            .orderBy("doc_id"))
+
+
 @_reg("payload_term", """
 WITH vals AS (
   SELECT doc_id,
@@ -2735,7 +2767,7 @@ _PRIORITY: list[str] = [
     "regexp_query", "kstem_search", "french_search", "german_search",
     "spanish_search", "early_terminate_sort", "repetition_stats",
     "dup_components", "url_normalize", "nb_classify", "spatial_radius",
-    "payload_term", "fuzzy_query", "freetext_suggest",
+    "payload_term", "decontaminate", "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable.  Rotated out in favor of
     # the r3 gates (all double-green r01+r02; they re-enter on the
     # post-window rotation): bool_must_not, prefix_query, range_query,
@@ -2745,7 +2777,6 @@ _PRIORITY: list[str] = [
     "dismax", "phrase_query", "wand_topk",
     "dedup_exact",
     "ann_search",
-    "doc_fingerprint",
 ]
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "ws_tokens", "exact_dedup_groups", "shingles", "minhash_signatures",
     "lsh_candidate_pairs", "simhash", "simhash_candidate_pairs",
     "ngram_jaccard_pairs", "connected_components", "dup_representatives",
+    "decontaminate",
 ]
 
 
@@ -280,3 +281,43 @@ def dup_representatives(components: DataFrame) -> DataFrame:
     (the min id, i.e. the component label itself); ``keep = false`` rows
     are the near-dup discards of the training-data pipeline."""
     return components.withColumn("keep", F.col("id") == F.col("comp"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  min_overlap: int = 1, key_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(key, n_overlaps, contaminated) — benchmark decontamination for
+    training corpora (the GPT-3-style n-gram filter: a training doc is
+    contaminated when it shares >= ``min_overlap`` distinct word
+    ``n``-grams with any benchmark/eval document).
+
+    Scale shape: the benchmark side is tiny next to the corpus, so its
+    distinct n-gram set is BROADCAST and the probe is a map-side
+    hash-semi-join over the corpus n-grams — no shuffle of corpus data,
+    one aggregation for the per-doc overlap counts.  Every corpus doc is
+    returned (n_overlaps = 0 when clean), so the frame composes as a
+    filter column."""
+    def grams(df):
+        toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                        lambda x: x != F.lit(""))
+        base = df.select(F.col(key_col).alias("key"), toks.alias("t")) \
+                 .withColumn("m", F.size("t"))
+        return base.select(
+            "key",
+            F.explode(F.when(F.col("m") >= n, F.expr(
+                f"transform(sequence(0, m - {n}), "
+                f"i -> array_join(slice(t, i + 1, {n}), ' '))"))
+                .otherwise(F.array())).alias("gram"))
+
+    bench_grams = F.broadcast(
+        grams(benchmark).select("gram").distinct())
+    overlaps = (grams(docs).distinct()
+                .join(bench_grams, "gram")
+                .groupBy("key")
+                .agg(F.count("*").alias("n_overlaps")))
+    return (docs.select(F.col(key_col).alias("key"))
+            .join(overlaps, "key", "left")
+            .select(F.col("key").alias(key_col),
+                    F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"))
+            .withColumn("contaminated",
+                        F.col("n_overlaps") >= min_overlap))

@@ -70,3 +70,20 @@ def test_normalize_url(spark):
     assert got[2] == "http://host.com/"          # root slash kept
     assert got[3] == "http://host.com:8080/a?z=1"  # non-default port kept
     assert got[4] == "https://host.com/"         # empty path -> /
+
+
+def test_decontaminate(spark):
+    from lucene_solr_old_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g"),        # shares the 5-gram "a b c d e"
+         (2, "x y z w v u t"),        # clean
+         (3, "q q q q")],             # shorter than n: clean
+        "doc_id LONG, text STRING")
+    bench = spark.createDataFrame(
+        [(100, "a b c d e zz")], "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.n_overlaps, r.contaminated)
+           for r in decontaminate(train, bench, n=5).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
