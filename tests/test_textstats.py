@@ -3,6 +3,8 @@ full-corpus equivalence is driver-certified by the repetition_stats gate."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from lucene_solr_old_spark.operators.textstats import repetition_stats
 
 
@@ -87,3 +89,20 @@ def test_decontaminate(spark):
     assert got[1] == (1, True)
     assert got[2] == (0, False)
     assert got[3] == (0, False)
+
+
+def test_normalize_url_idempotent(spark):
+    from lucene_solr_old_spark.operators.textstats import normalize_url
+
+    urls = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=x&b=2&a=1#f"),
+        (2, "http://host.com:80/"),
+        (3, "ftp://Mixed.Case/KeepPath/"),
+        (4, "https://a.b/p?x=1&x=0&ref=spam"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id LONG, url STRING")
+    once = normalize_url(df, "url").select(
+        "doc_id", F.col("url_norm").alias("url"))
+    twice = normalize_url(once, "url")
+    rows = twice.collect()
+    assert all(r.url == r.url_norm for r in rows), rows
