@@ -2561,6 +2561,58 @@ def _q_url_normalize(spark, sf_dir):
             .select("doc_id", "url_norm").orderBy("doc_id"))
 
 
+@_reg("spellcheck_collate", f"""WITH {_PRELUDE},
+slots(slot, qterm) AS (VALUES (0, 'spark'), (1, 'jion'), (2, 'merg')),
+cand AS (
+  SELECT slot, term, levenshtein(term, qterm) AS dist, df,
+         row_number() OVER (PARTITION BY slot
+                            ORDER BY levenshtein(term, qterm), df DESC,
+                                     term) AS rk
+  FROM slots CROSS JOIN dfreq
+  WHERE levenshtein(term, qterm) <= 2),
+top2 AS (SELECT slot, term, dist, df FROM cand WHERE rk <= 2),
+coll AS (
+  SELECT c0.term || ' ' || c1.term || ' ' || c2.term AS collated,
+         c0.dist + c1.dist + c2.dist AS total_dist,
+         c0.df + c1.df + c2.df AS total_df
+  FROM top2 c0, top2 c1, top2 c2
+  WHERE c0.slot = 0 AND c1.slot = 1 AND c2.slot = 2),
+cterms AS (
+  SELECT collated, total_dist, total_df, unnest(toks) AS term
+  FROM (SELECT collated, total_dist, total_df,
+               list_distinct(string_split(collated, ' ')) AS toks
+        FROM coll) q),
+nt AS (SELECT collated, count(*) AS n_terms
+       FROM cterms GROUP BY 1),
+hits AS (
+  SELECT ct.collated, count(*) AS hits
+  FROM (SELECT ct0.collated, t.doc_id,
+               count(DISTINCT t.term) AS m
+        FROM cterms ct0
+        JOIN (SELECT DISTINCT doc_id, term FROM tf) t USING (term)
+        GROUP BY 1, 2) d
+  JOIN nt ON nt.collated = d.collated
+  JOIN (SELECT DISTINCT collated FROM cterms) ct
+    ON ct.collated = d.collated
+  WHERE d.m = nt.n_terms
+  GROUP BY 1)
+SELECT c.collated, c.total_dist, h.hits
+FROM (SELECT DISTINCT collated, total_dist, total_df FROM coll) c
+JOIN hits h USING (collated)
+ORDER BY c.total_dist, c.total_df DESC, c.collated
+LIMIT 5""")
+def _q_spellcheck_collate(spark, sf_dir):
+    # SpellCheckCollator: "spark jion merg" -> corrected collations with
+    # verified conjunctive hit counts ("collated" because COLLATION is a
+    # DuckDB reserved word)
+    from .operators.spell import spellcheck_collate
+
+    idx = doc_index(spark, sf_dir)
+    return (spellcheck_collate(idx, "spark jion merg", max_edits=2,
+                               max_corrections=2, max_collations=5)
+            .withColumnRenamed("collation", "collated"))
+
+
 @_reg("decontaminate", """
 WITH base AS (
   SELECT doc_id,
@@ -2767,7 +2819,8 @@ _PRIORITY: list[str] = [
     "regexp_query", "kstem_search", "french_search", "german_search",
     "spanish_search", "early_terminate_sort", "repetition_stats",
     "dup_components", "url_normalize", "nb_classify", "spatial_radius",
-    "payload_term", "decontaminate", "fuzzy_query", "freetext_suggest",
+    "payload_term", "decontaminate", "spellcheck_collate",
+    "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable.  Rotated out in favor of
     # the r3 gates (all double-green r01+r02; they re-enter on the
     # post-window rotation): bool_must_not, prefix_query, range_query,
@@ -2775,7 +2828,6 @@ _PRIORITY: list[str] = [
     # dup_components re-verifies transitively through its oracle) --
     "term_query", "bool_or", "bool_and",
     "dismax", "phrase_query", "wand_topk",
-    "dedup_exact",
     "ann_search",
 ]
 

@@ -37,7 +37,8 @@ from .indexer import InvertedIndex
 __all__ = ["spellcheck", "suggest_prefix", "term_range",
            "build_suggest_table", "analyzing_suggest", "fuzzy_suggest",
            "build_freetext_table", "free_text_suggest",
-           "word_break_suggest", "infix_suggest", "word_combine_suggest"]
+           "word_break_suggest", "infix_suggest", "word_combine_suggest",
+           "spellcheck_collate"]
 
 
 def _global_terms(index: InvertedIndex) -> DataFrame:
@@ -320,3 +321,83 @@ def infix_suggest(table: DataFrame, query: str, k: int = 10,
             .orderBy(F.desc("prefix_match"), F.desc("weight"),
                      F.asc("surface"))
             .limit(k))
+
+
+def spellcheck_collate(index: InvertedIndex, query_text: str,
+                       max_edits: int = 2, max_corrections: int = 2,
+                       max_collations: int = 5,
+                       min_df: int = 1) -> DataFrame:
+    """(collation, total_dist, hits) — the Solr SpellCheckComponent
+    ``collate`` feature (``solr/.../spelling/SpellCheckCollator.java``):
+    rewrite the query with the top correction candidates per misspelled
+    term, keep only collations that actually MATCH documents (every term
+    present in one doc, the conjunctive re-query the collator issues),
+    ranked (total edit distance asc, summed candidate df desc, collation
+    asc), top ``max_collations``.
+
+    Shape: per-slot candidates come from one dictionary scan (terms with
+    df >= ``min_df`` within ``max_edits``); the candidate lists are tiny
+    (<= ``max_corrections`` per slot) so the collation product is
+    enumerated driver-side, and ALL collations are hit-verified in ONE
+    job (explode collation terms -> join postings docs -> count docs
+    matching every term)."""
+    import itertools
+
+    from ..functions.tokenizer import get_analyzer
+
+    spark = index.postings.sparkSession
+    qterms = [t.term for t in get_analyzer(index.analyzer)(query_text)]
+    terms = _global_terms(index).where(F.col("df") >= min_df)
+
+    # one scan: per-slot ranked candidates (dist 0 = the term itself)
+    qt = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(qterms)], "slot INT, qterm STRING")
+    cand = (qt.crossJoin(terms)
+            .withColumn("dist",
+                        F.levenshtein(F.col("term"), F.col("qterm")))
+            .where(F.col("dist") <= max_edits))
+    from pyspark.sql import Window
+    w = Window.partitionBy("slot").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term"))
+    ranked = (cand.withColumn("_r", F.row_number().over(w))
+              .where(F.col("_r") <= max_corrections)
+              .select("slot", "term", "dist", "df").collect())
+
+    by_slot: dict[int, list] = {}
+    for r in ranked:
+        by_slot.setdefault(r.slot, []).append((r.term, r.dist, r.df))
+    if len(by_slot) < len(qterms):        # a slot with no candidate at all
+        return spark.createDataFrame(
+            [], "collation STRING, total_dist INT, hits LONG")
+
+    collations = []
+    for combo in itertools.product(*(by_slot[i]
+                                     for i in range(len(qterms)))):
+        text = " ".join(c[0] for c in combo)
+        collations.append((text, sum(c[1] for c in combo),
+                           sum(c[2] for c in combo),
+                           sorted({c[0] for c in combo})))
+    collations.sort(key=lambda c: (c[1], -c[2], c[0]))
+
+    # verify every collation's conjunctive hits in one job
+    rows = [(text, i, t) for i, (text, _d, _f, ts) in
+            enumerate(collations) for t in ts]
+    ct = spark.createDataFrame(rows, "collation STRING, cid INT, term STRING")
+    nterms = (ct.groupBy("cid").agg(F.count("*").alias("n_terms")))
+    docs = (index.postings.select(
+                "term", F.explode("postings.docid").alias("docid"), "seg")
+            .distinct())
+    matched = (ct.join(docs, "term")
+               .groupBy("cid", "seg", "docid")
+               .agg(F.countDistinct("term").alias("m"))
+               .join(nterms, "cid")
+               .where(F.col("m") == F.col("n_terms"))
+               .groupBy("cid").agg(F.count("*").alias("hits")))
+    meta = spark.createDataFrame(
+        [(i, text, d) for i, (text, d, _f, _t) in enumerate(collations)],
+        "cid INT, collation STRING, total_dist INT")
+    return (meta.join(matched, "cid")
+            .where(F.col("hits") > 0)
+            .orderBy(F.asc("cid"))
+            .select("collation", "total_dist", "hits")
+            .limit(max_collations))

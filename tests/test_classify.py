@@ -74,3 +74,25 @@ def test_knn_majority_vote(spark, frame):
            for r in knn_classify(idx, train_classes, probe, k=3).collect()}
     assert out[200][0] == "eng" and out[201][0] == "cook"
     assert out[200][1] == 1.0          # all 3 neighbors agree
+
+
+def test_spellcheck_collate(spark):
+    from lucene_solr_old_spark.operators.spell import spellcheck_collate
+
+    df = spark.createDataFrame(
+        [("d1", "alpha beta gamma"), ("d2", "alpha beta delta"),
+         ("d3", "alpha gamma delta")],
+        "key STRING, text STRING")
+    idx = build_index(df, key_col="key", text_col="text",
+                      num_segments=2, analyzer="ws_stop").persist()
+    # "alpha betaa" -> collation "alpha beta", hits = docs with both
+    out = spellcheck_collate(idx, "alpha betaa", max_edits=2).collect()
+    assert out, "expected at least one collation"
+    top = out[0]
+    assert top.collation == "alpha beta"
+    assert top.hits == 2                      # d1 and d2
+    assert top.total_dist == 1
+
+    # an unknown term with no candidate in range -> empty result
+    none = spellcheck_collate(idx, "zzzzzzzzzq", max_edits=1).collect()
+    assert none == []
