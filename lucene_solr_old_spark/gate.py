@@ -561,33 +561,14 @@ mscored AS (
 SELECT doc_id, round(s, 4) AS score FROM mscored
 ORDER BY round(s, 4) DESC, doc_id LIMIT 20""")
 def _q_mlt(spark, sf_dir):
+    # MoreLikeThis via the operator (knobs relaxed to the corpus scale:
+    # the production defaults are min_term_freq=2/min_doc_freq=5/25 terms)
+    from .operators.mlt import more_like_this
+
     idx = doc_index(spark, sf_dir)
-    max_doc, _ = idx.collection_stats()
-    key0 = "0".rjust(10, "0")
-    # term rows of doc 0: explode only its segment's postings
-    tdoc0 = (idx.postings
-             .select("seg", "term", "df", F.explode("postings").alias("p"))
-             .join(idx.docmeta.where(F.col("key") == key0)
-                   .select("seg", F.col("docid").alias("d0")), "seg")
-             .where(F.col("p.docid") == F.col("d0")))
-    # global df per term (single-seg df may differ from global)
-    gdf = idx.postings.groupBy("term").agg(F.sum("df").alias("gdf"))
-    cand = (tdoc0.join(gdf, "term")
-            .withColumn("mltscore",
-                        F.col("p.freq").cast("double")
-                        * F.log(F.lit(1.0)
-                                + (F.lit(max_doc) - F.col("gdf") + F.lit(0.5))
-                                / (F.col("gdf") + F.lit(0.5))))
-            .orderBy(F.desc("mltscore"), F.asc("term"))
-            .limit(3))
-    terms = [r["term"] for r in cand.select("term").collect()]
-    scored, _sc = S.term_score_frame(idx, terms, precision="float64")
-    per_doc = scored.groupBy("seg", "docid").agg(F.sum("score").alias("score"))
-    out = (per_doc.join(idx.docmeta.select("seg", "docid", "key"),
-                        ["seg", "docid"])
-           .where(F.col("key") != key0)
-           .select("key", "score")
-           .orderBy(F.desc("score"), F.asc("key")).limit(40))
+    out = more_like_this(idx, "0".rjust(10, "0"), k=40,
+                         min_term_freq=1, min_doc_freq=1,
+                         max_query_terms=3, precision="float64")
     return _stable_topk(out)
 
 

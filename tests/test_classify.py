@@ -96,3 +96,35 @@ def test_spellcheck_collate(spark):
     # an unknown term with no candidate in range -> empty result
     none = spellcheck_collate(idx, "zzzzzzzzzq", max_edits=1).collect()
     assert none == []
+
+
+def test_mlt_knobs(spark):
+    from lucene_solr_old_spark.operators.mlt import (interesting_terms,
+                                                     more_like_this)
+
+    rows = [("s", "common common common rare midf midf")]
+    rows += [(f"d{i}", "common filler" + str(i)) for i in range(6)]
+    rows += [(f"m{i}", "midf x" + str(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "key STRING, text STRING")
+    idx = build_index(df, key_col="key", text_col="text",
+                      num_segments=2, analyzer="ws_stop").persist()
+
+    # min_term_freq prunes tf<2 ("rare" tf=1); min_doc_freq prunes df<4
+    # ("midf" df=4 passes, "rare" df=1 would anyway fail tf)
+    terms = {r.term for r in interesting_terms(
+        idx, "s", min_term_freq=2, min_doc_freq=4,
+        max_query_terms=25).collect()}
+    assert terms == {"common", "midf"}
+    # max_doc_freq prunes the stop-wordy "common" (df=7)
+    terms2 = {r.term for r in interesting_terms(
+        idx, "s", min_term_freq=2, min_doc_freq=1, max_doc_freq=5,
+        max_query_terms=25).collect()}
+    assert "common" not in terms2 and "midf" in terms2
+    # max_query_terms caps the queue
+    one = interesting_terms(idx, "s", min_term_freq=1, min_doc_freq=1,
+                            max_query_terms=1).collect()
+    assert len(one) == 1
+
+    # the query excludes the source doc
+    out = more_like_this(idx, "s", k=5, min_term_freq=1, min_doc_freq=1)
+    assert "s" not in {r.key for r in out.collect()}
