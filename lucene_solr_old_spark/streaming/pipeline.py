@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["dedup_stream", "windowed_event_counts", "first_seen_filter"]
+__all__ = ["dedup_stream", "windowed_event_counts", "first_seen_filter",
+           "near_dedup_stream"]
 
 
 def dedup_stream(stream_df: DataFrame, ts_col: str = "warc_ts",
@@ -84,3 +85,86 @@ def first_seen_filter(stream_df: DataFrame, key_col: str = "url",
                 stateStructType="seen INT",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def near_dedup_stream(stream_df: DataFrame, key_col: str = "url",
+                      text_col: str = "text", n_hashes: int = 8,
+                      rows_per_band: int = 2,
+                      shingle_n: int = 3) -> DataFrame:
+    """Streaming NEAR-dup suppression: per-document MinHash signatures
+    (computed row-local in an Arrow batch — no shuffle), banded into LSH
+    buckets, then an ``applyInPandasWithState`` operator keyed by
+    (band, bucket) that lets only each bucket's FIRST document through.
+    A document survives only if it is first in EVERY one of its buckets
+    within the micro-batch output (`n_buckets == n_first`), i.e. no
+    earlier doc — in this or any previous batch — shared any band with
+    it.
+
+    This is the streaming face of the batch ``dedup.lsh_candidate_pairs``
+    pipeline: same md5-seeded shingle sketch, so a stream and a backfill
+    agree on signatures.  State = one entry per distinct bucket (pair
+    with state TTL timeouts in production to bound it).
+
+    Returns bucket-first events (key, band, bucket, first): a doc is
+    NOVEL iff it owns the first event of every one of its buckets --
+    aggregate downstream (a second stateful aggregation cannot ride the
+    same streaming query), e.g. in foreachBatch:
+    events.groupBy("key").count() == n_bands.
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_bands = n_hashes // rows_per_band
+
+    def sig_rows(batches):
+        import pandas as pd
+        for pdf in batches:
+            keys, bands, buckets = [], [], []
+            for key, text in zip(pdf["key"], pdf["text"]):
+                toks = [t for t in (text or "").lower().split(" ") if t]
+                shingles = {" ".join(toks[i:i + shingle_n])
+                            for i in range(len(toks) - shingle_n + 1)}
+                if not shingles:
+                    shingles = {""}
+                sig = [min(hashlib.md5(f"{h}:{s}".encode()).hexdigest()
+                           for s in shingles)
+                       for h in range(n_hashes)]
+                for b in range(n_bands):
+                    band_sig = "|".join(
+                        sig[b * rows_per_band:(b + 1) * rows_per_band])
+                    keys.append(key)
+                    bands.append(b)
+                    buckets.append(hashlib.md5(
+                        f"{b}:{band_sig}".encode()).hexdigest())
+            yield pd.DataFrame({"key": keys, "band": bands,
+                                "bucket": buckets})
+
+    banded = (stream_df
+              .select(F.col(key_col).alias("key"),
+                      F.col(text_col).alias("text"))
+              .mapInPandas(sig_rows,
+                           schema="key STRING, band INT, bucket STRING"))
+
+    def first_in_bucket(bucket_key, pdfs, state):
+        import pandas as pd
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if state.exists:
+            yield pd.DataFrame({"key": [], "band": [],
+                                "bucket": [], "first": []})
+            return
+        state.update((1,))
+        if rows:
+            head = rows[0].iloc[:1].copy()
+            head["first"] = True
+            yield head[["key", "band", "bucket", "first"]]
+
+    firsts = (banded.groupBy("bucket")
+              .applyInPandasWithState(
+                  first_in_bucket,
+                  outputStructType=("key STRING, band INT, bucket STRING, "
+                                    "first BOOLEAN"),
+                  stateStructType="seen INT",
+                  outputMode="append",
+                  timeoutConf=GroupStateTimeout.NoTimeout))
+    return firsts

@@ -92,3 +92,50 @@ def test_first_seen_filter_across_batches(spark, tmp_path):
     texts = [r["text"] for r in rows]
     assert texts.count("dup content") == 1, texts
     assert "brand new" in texts
+
+
+def test_near_dedup_stream_across_batches(spark, tmp_path):
+    from lucene_solr_old_spark.streaming.pipeline import near_dedup_stream
+
+    src_dir = str(tmp_path / "in_nd")
+    ckpt = str(tmp_path / "ck_nd")
+    out_dir = str(tmp_path / "out_nd")
+
+    def run():
+        stream = (spark.readStream.schema("url STRING, text STRING")
+                  .parquet(src_dir))
+        q = (near_dedup_stream(stream, n_hashes=8, rows_per_band=2)
+             .writeStream
+             .foreachBatch(lambda df, bid: df.write.mode("append")
+                           .parquet(out_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: u1 and its near-duplicate u2 (same shingles), u3 distinct
+    _write_batch(spark, src_dir, [
+        ("u1", "alpha beta gamma delta epsilon zeta"),
+        ("u2", "alpha beta gamma delta epsilon zeta"),
+        ("u3", "one two three four five six seven")],
+        "url STRING, text STRING")
+    run()
+    by_key = {}
+    for r in spark.read.parquet(out_dir).collect():
+        by_key[r.key] = by_key.get(r.key, 0) + 1
+    # u3 owns all 4 of its buckets; u1/u2 share identical buckets, so
+    # exactly one winner per bucket between them
+    assert by_key.get("u3", 0) == 4
+    assert by_key.get("u1", 0) + by_key.get("u2", 0) == 4
+
+    # batch 2 (recovered state): u4 near-dups u3 -> owns NO bucket;
+    # u5 is novel -> owns all 4
+    _write_batch(spark, src_dir, [
+        ("u4", "one two three four five six seven"),
+        ("u5", "nine ten eleven twelve thirteen fourteen")],
+        "url STRING, text STRING")
+    run()
+    by_key2 = {}
+    for r in spark.read.parquet(out_dir).collect():
+        by_key2[r.key] = by_key2.get(r.key, 0) + 1
+    assert by_key2.get("u4", 0) == 0
+    assert by_key2.get("u5", 0) == 4
