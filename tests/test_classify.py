@@ -128,3 +128,14 @@ def test_mlt_knobs(spark):
     # the query excludes the source doc
     out = more_like_this(idx, "s", k=5, min_term_freq=1, min_doc_freq=1)
     assert "s" not in {r.key for r in out.collect()}
+
+
+def test_nb_classify_broadcasts_classes(spark, frame):
+    # the per-class constants table must be broadcast (tiny dim), not
+    # shuffled against the token frame
+    model = train_naive_bayes(frame, class_col="cls")
+    probe = spark.createDataFrame([(1, "spark oven")],
+                                  "doc_id LONG, text STRING")
+    plan = (nb_classify(model, probe)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -88,3 +88,20 @@ def test_prune_actually_prunes(pts):
     assert cells.count() < pts.count() / 4
     assert _ids(pruned) == _ids(points_within_radius(
         pts.drop("cell_x", "cell_y"), 10.5, 20.5, 1000.0))
+
+
+def test_cell_prune_pushes_to_parquet_scan(spark, pts, tmp_path):
+    # storage-level pruning: the cell_y/cell_x predicates must reach the
+    # parquet scan as PushedFilters
+    path = str(tmp_path / "points_store")
+    (pts.repartition("cell_y").sortWithinPartitions("cell_y", "cell_x")
+     .write.mode("overwrite").parquet(path))
+    loaded = spark.read.parquet(path)
+    import re
+    plan = (points_within_radius(loaded, 10.5, 20.5, 800.0, cell_deg=5.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the cell range reaches the scan's data filters (the printed filter
+    # list is truncated, so match the Filter node's expression)
+    assert re.search(r"cell_y#\d+ >= ", plan) and \
+        re.search(r"cell_y#\d+ <= ", plan)
+    assert re.search(r"DataFilters: \[isnotnull\(cell_y", plan)

@@ -106,3 +106,17 @@ def test_normalize_url_idempotent(spark):
     twice = normalize_url(once, "url")
     rows = twice.collect()
     assert all(r.url == r.url_norm for r in rows), rows
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from lucene_solr_old_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, "w" + " w".join(str(j) for j in range(i, i + 8)))
+         for i in range(50)], "doc_id LONG, text STRING")
+    bench = train.where(F.col("doc_id") % 10 == 0)
+    plan = (decontaminate(train, bench, n=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the benchmark-gram probe must be a broadcast join (map-side
+    # semi-join over the corpus grams)
+    assert "BroadcastHashJoin" in plan
