@@ -2696,6 +2696,56 @@ def _q_spatial_radius(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@_reg("facet_interval", """
+WITH hits AS (SELECT doc_id, n_chars FROM documents)
+SELECT iv.interval, count(*) AS cnt
+FROM hits
+JOIN (VALUES ('short'), ('mid'), ('long')) iv(interval)
+  ON (iv.interval = 'short' AND n_chars < 200)
+  OR (iv.interval = 'mid' AND n_chars >= 200 AND n_chars <= 400)
+  OR (iv.interval = 'long' AND n_chars > 300)
+GROUP BY iv.interval
+ORDER BY iv.interval""")
+def _q_facet_interval(spark, sf_dir):
+    # Solr interval faceting: overlapping intervals with open/closed and
+    # unbounded ends — a doc counts in EVERY interval it falls in
+    from .operators.facets import facet_interval
+
+    dims = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"), "n_chars")
+    hits = dims.select("key")
+    return facet_interval(
+        hits, dims, "n_chars",
+        [("short", None, 200, True, False),
+         ("mid", 200, 400, True, True),
+         ("long", 300, None, False, True)])
+
+
+@_reg("heatmap_facet", """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id % 160) - 80 + 0.5 AS lat,
+         ((doc_id * 7) % 360) - 180 + 0.5 AS lon
+  FROM documents)
+SELECT floor(lat / 10)::INT AS cell_y,
+       floor(lon / 10)::INT AS cell_x,
+       count(*) AS cnt
+FROM pts
+WHERE lat BETWEEN -30 AND 30 AND lon BETWEEN -60 AND 60
+GROUP BY 1, 2
+ORDER BY 1, 2""")
+def _q_heatmap_facet(spark, sf_dir):
+    # facet.heatmap: 2D grid counts inside a bbox (bbox scan + one
+    # map-side-combinable groupBy)
+    from .operators.spatial import heatmap_facet
+
+    pts = _docs(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("doc_id") % 160) - 80 + 0.5).alias("lat"),
+        (((F.col("doc_id") * 7) % 360) - 180 + 0.5).alias("lon"))
+    return heatmap_facet(pts, -30, 30, -60, 60, cell_deg=10.0)
+
+
 @_reg("nb_classify", """
 WITH toks AS (
   SELECT doc_id,
@@ -2801,13 +2851,14 @@ _PRIORITY: list[str] = [
     "spanish_search", "early_terminate_sort", "repetition_stats",
     "dup_components", "url_normalize", "nb_classify", "spatial_radius",
     "payload_term", "decontaminate", "spellcheck_collate",
+    "facet_interval", "heatmap_facet",
     "fuzzy_query", "freetext_suggest",
     # -- canaries: one per family, long-stable.  Rotated out in favor of
     # the r3 gates (all double-green r01+r02; they re-enter on the
     # post-window rotation): bool_must_not, prefix_query, range_query,
     # min_should_match, and minhash_lsh_pairs (whose pair pipeline
     # dup_components re-verifies transitively through its oracle) --
-    "term_query", "bool_or", "bool_and",
+    "term_query",
     "dismax", "phrase_query", "wand_topk",
     "ann_search",
 ]

@@ -25,7 +25,7 @@ from .search import term_score_frame
 __all__ = ["taxonomy_counts", "drill_down", "stats_percentiles",
            "collapse_results", "expand_groups",
            "matching_docs", "facet_field", "facet_range", "facet_queries",
-           "facet_pivot", "stats_agg", "group_topk"]
+           "facet_pivot", "stats_agg", "group_topk", "facet_interval"]
 
 
 def matching_docs(index: InvertedIndex, terms: list[str],
@@ -264,3 +264,30 @@ def expand_groups(scored_hits: DataFrame, dims: DataFrame,
     return (members.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= rows_per_group)
             .select(collapse_field, key_col, "score", "rank"))
+
+
+def facet_interval(result_docs: DataFrame, dims: DataFrame, field: str,
+                   intervals: list[tuple], key_col: str = "key") -> DataFrame:
+    """(interval, cnt) — Solr interval faceting (``facet.interval`` /
+    ``IntervalFacets.java``): arbitrary, possibly-overlapping intervals
+    with per-end open/closed bounds.  ``intervals`` entries are
+    (label, lo, hi, lo_closed, hi_closed); ``None`` bounds are unbounded
+    (the ``(*,x]`` syntax).  One pass: a doc contributes to EVERY
+    interval it falls in (unlike facet.range's disjoint bins)."""
+    joined = result_docs.join(dims, key_col)
+    frames = []
+    for label, lo, hi, lo_closed, hi_closed in intervals:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(field) >= lo if lo_closed
+                           else F.col(field) > lo)
+        if hi is not None:
+            cond = cond & (F.col(field) <= hi if hi_closed
+                           else F.col(field) < hi)
+        frames.append(joined.where(cond).agg(
+            F.lit(label).alias("interval"),
+            F.count("*").alias("cnt")))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("interval")

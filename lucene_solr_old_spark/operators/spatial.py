@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["EARTH_MEAN_RADIUS_KM", "haversine_km", "geohash_encode",
            "geohash_col", "index_points", "points_in_bbox",
-           "points_within_radius"]
+           "points_within_radius", "heatmap_facet"]
 
 EARTH_MEAN_RADIUS_KM = 6371.0087714   # spatial4j DistanceUtils
 
@@ -159,3 +159,22 @@ def points_within_radius(points: DataFrame, qlat: float, qlon: float,
                         F.lit(qlat), F.lit(qlon))
     return (pruned.withColumn(dist_col, dist)
             .where(F.col(dist_col) <= radius_km))
+
+
+def heatmap_facet(points: DataFrame, lat_min: float, lat_max: float,
+                  lon_min: float, lon_max: float, cell_deg: float = 1.0,
+                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """(cell_y, cell_x, cnt) — the Solr spatial heatmap facet
+    (``facet.heatmap`` / ``HeatmapFacetCounter.java``): 2D grid counts of
+    points inside a bbox at a chosen grid level.  One pushed-down bbox
+    scan + one map-side-combinable groupBy — the plan shape that holds at
+    any corpus size."""
+    inside = points_in_bbox(points, lat_min, lat_max, lon_min, lon_max,
+                            lat_col, lon_col)
+    return (inside
+            .groupBy(F.floor(F.col(lat_col) / F.lit(cell_deg))
+                     .cast("int").alias("cell_y"),
+                     F.floor(F.col(lon_col) / F.lit(cell_deg))
+                     .cast("int").alias("cell_x"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("cell_y", "cell_x"))
