@@ -20,6 +20,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions.stopwords import ENGLISH_STOP_WORDS
+from .operators import cleaning as _cleaning
 from .operators import search as S
 from .operators.indexer import InvertedIndex, build_index
 from .operators.search import LQ64
@@ -2819,6 +2820,174 @@ def _q_earlyterm(spark, sf_dir):
             .select("doc_id", "n_chars"))
 
 
+# ---- corpus-cleaning passes (C4 / CCNet / Gopher; operators/cleaning.py) --
+
+# deterministic multi-line page synthesized from each document (the corpus
+# rows carry no newlines): a clean headline, an unpunctuated fragment, a
+# cross-corpus boilerplate line, a mod-7 shared line (or a javascript line),
+# a tail line, plus lorem-ipsum / brace pages on mod-17 / mod-19.
+_LINES_SQL = """concat(
+    'Line one for doc ', doc_id::VARCHAR, ' reads well.', chr(10),
+    substr(text, 1, 40), chr(10),
+    'Subscribe to our newsletter now.', chr(10),
+    CASE WHEN doc_id % 5 = 0 THEN 'This page uses javascript heavily.'
+         ELSE concat('Shared sentence group ', (doc_id % 7)::VARCHAR,
+                     ' appears often!') END, chr(10),
+    'Tail line for doc ', doc_id::VARCHAR,
+    CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END,
+    CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+         ELSE '' END,
+    CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'brace { line here.'
+         ELSE '' END)"""
+
+
+def _lines_docs(spark, sf_dir):
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    t = F.concat(
+        F.lit("Line one for doc "), ds, F.lit(" reads well.\n"),
+        F.substring(F.col("text"), 1, 40), F.lit("\n"),
+        F.lit("Subscribe to our newsletter now.\n"),
+        F.when(d % 5 == 0, F.lit("This page uses javascript heavily."))
+        .otherwise(F.concat(F.lit("Shared sentence group "),
+                            (d % 7).cast("string"),
+                            F.lit(" appears often!"))),
+        F.lit("\nTail line for doc "), ds,
+        F.when(d % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+        .otherwise(F.lit("")),
+        F.when(d % 19 == 0, F.lit("\nbrace { line here."))
+        .otherwise(F.lit("")))
+    return _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+
+
+@_reg("pii_scrub", f"""
+WITH u AS (SELECT doc_id,
+  concat(substr(text, 1, 50), ' write to user', doc_id::VARCHAR, '@mail',
+         (doc_id % 5)::VARCHAR, '.com or visit 10.',
+         (doc_id % 200)::VARCHAR, '.0.', (doc_id % 250)::VARCHAR,
+         CASE WHEN doc_id % 3 = 0
+              THEN concat(' call +44 20 7946 0',
+                          lpad((doc_id % 1000)::VARCHAR, 3, '0'))
+              ELSE '' END,
+         ' end.') AS t
+  FROM documents),
+s1 AS (SELECT doc_id,
+         len(regexp_extract_all(t, '{_cleaning.EMAIL_RE}')) AS n_email,
+         regexp_replace(t, '{_cleaning.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+       FROM u),
+s2 AS (SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{_cleaning.IPV4_RE}')) AS n_ip,
+         regexp_replace(t1, '{_cleaning.IPV4_RE}', '<IP>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t2, '{_cleaning.PHONE_RE}')) AS n_phone,
+         regexp_replace(t2, '{_cleaning.PHONE_RE}', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, t3 AS text_clean, n_email::BIGINT AS n_email,
+       n_ip::BIGINT AS n_ip, n_phone::BIGINT AS n_phone
+FROM s3 ORDER BY doc_id""")
+def _q_pii_scrub(spark, sf_dir):
+    # PII redaction pass: e-mail / IPv4 / phone placeholders with per-class
+    # counts, RE2-safe patterns, staged so categories never double-count
+    from .operators.cleaning import pii_scrub
+
+    d = F.col("doc_id")
+    t = F.concat(
+        F.substring(F.col("text"), 1, 50),
+        F.lit(" write to user"), d.cast("string"), F.lit("@mail"),
+        (d % 5).cast("string"), F.lit(".com or visit 10."),
+        (d % 200).cast("string"), F.lit(".0."), (d % 250).cast("string"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" call +44 20 7946 0"),
+                        F.lpad((d % 1000).cast("string"), 3, "0")))
+        .otherwise(F.lit("")),
+        F.lit(" end."))
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return pii_scrub(docs).orderBy("doc_id")
+
+
+@_reg("c4_line_filter", f"""
+WITH u AS (SELECT doc_id, {_LINES_SQL} AS t FROM documents),
+f AS (SELECT doc_id, t,
+        list_filter(string_split(t, chr(10)),
+          x -> regexp_matches(x, '[.!?]$')
+           AND len(list_filter(string_split(trim(x), ' '),
+                               w -> w <> '')) >= 3
+           AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM u)
+SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+       len(kept)::BIGINT AS n_lines_kept,
+       (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(t, '{{')) AS page_keep
+FROM f ORDER BY doc_id""")
+def _q_c4_line_filter(spark, sf_dir):
+    # C4 §2.2 page cleanup: terminal-punctuation lines, >=3 words,
+    # javascript lines out; lorem-ipsum / brace / short pages flagged
+    from .operators.cleaning import c4_line_filter
+
+    return (c4_line_filter(_lines_docs(spark, sf_dir), min_lines=3)
+            .orderBy("doc_id"))
+
+
+@_reg("line_dedup", f"""
+WITH u AS (SELECT doc_id, {_LINES_SQL} AS t FROM documents),
+l AS (SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             unnest(range(0, len(string_split(t, chr(10))))) AS pos
+      FROM u),
+r AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rk
+      FROM l)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rk = 1 THEN line END, chr(10)
+                           ORDER BY pos), '') AS text_dedup,
+       sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rk <> 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM r GROUP BY doc_id ORDER BY doc_id""")
+def _q_line_dedup(spark, sf_dir):
+    # corpus-wide exact line dedup, first occurrence wins (CCNet/RefinedWeb
+    # paragraph discipline): boilerplate repeated across pages collapses to
+    # its first sighting
+    from .operators.cleaning import line_dedup
+
+    return line_dedup(_lines_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@_reg("gopher_quality", """
+WITH w AS (SELECT doc_id,
+             list_filter(string_split(trim(lower(text)), ' '),
+                         x -> x <> '') AS words
+           FROM documents),
+s AS (SELECT doc_id, len(words) AS n,
+        CASE WHEN len(words) > 0 THEN
+          round(list_sum(list_transform(words, x -> len(x)))::DOUBLE
+                / len(words), 6)
+        ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(words) > 0 THEN
+          round(len(list_filter(words,
+                                x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                / len(words), 6)
+        ELSE 0.0 END AS alpha_frac,
+        len(list_intersect(list_distinct(words),
+            ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+          AS stop_hits
+      FROM w)
+SELECT doc_id, n::BIGINT AS n_words, mean_word_len, alpha_frac,
+       stop_hits::BIGINT AS stop_hits,
+       (n >= 50 AND n <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+FROM s ORDER BY doc_id""")
+def _q_gopher_quality(spark, sf_dir):
+    # Gopher §A1.1 document-quality rules over the raw corpus: word-count
+    # range, mean word length, alphabetic-word ratio, required stop words
+    from .operators.cleaning import gopher_quality_filter
+
+    return gopher_quality_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -2844,8 +3013,11 @@ _PRIORITY: list[str] = [
     "elevation", "block_join", "taxonomy_facets", "drill_down",
     "percolate", "versioned_upsert", "date_math_range", "datetools_string",
     "postings_highlight",
-    # -- green in r01 only; rotated out of the r02 window --
-    "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
+    # -- corpus-cleaning passes added late in round 3 (never certified;
+    # they take the slots of the r01-green batch_search /
+    # highlight_snippet / facet_pivot / drill_sideways, which rotate back
+    # in with the rest of the outside-window set next round) --
+    "pii_scrub", "c4_line_filter", "line_dedup", "gopher_quality",
     # -- new in round 3 / implementation changed (must certify) --
     "regexp_query", "kstem_search", "french_search", "german_search",
     "spanish_search", "early_terminate_sort", "repetition_stats",
