@@ -37,7 +37,10 @@ from .tokenizer import Token
 
 __all__ = ["ascii_fold", "fold_text", "word_delimiter", "shingle",
            "SynonymMap", "synonym_filter", "edge_ngrams",
-           "char_ngram_tokens", "keyword_marked_stem", "common_grams"]
+           "char_ngram_tokens", "keyword_marked_stem", "common_grams",
+           "length_filter", "trim_filter", "truncate_filter",
+           "reverse_filter", "capitalization_filter", "remove_duplicates",
+           "limit_token_count", "pattern_replace", "fingerprint_filter"]
 
 
 # ---------------------------------------------------------------------------
@@ -414,3 +417,98 @@ def common_grams(tokens: list[Token], common_words: set[str],
             out.append(t)
     out.sort(key=lambda t: (t.pos, t.start, t.term))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Miscellaneous token filters (lucene/analysis/common/.../miscellaneous/)
+# ---------------------------------------------------------------------------
+
+def length_filter(tokens: list[Token], min_len: int = 1,
+                  max_len: int = 255) -> list[Token]:
+    """``miscellaneous/LengthFilter.java``: keep tokens whose term length
+    is in ``[min_len, max_len]``.  Positions are absolute in this chain
+    convention, so dropped tokens leave holes — the 4.x
+    ``enablePositionIncrements=true`` behavior."""
+    return [t for t in tokens if min_len <= len(t.term) <= max_len]
+
+
+def trim_filter(tokens: list[Token]) -> list[Token]:
+    """``miscellaneous/TrimFilter.java`` (updateOffsets=false, the 4.x
+    default): strip leading/trailing whitespace from the term, offsets
+    unchanged."""
+    return [Token(t.term.strip(), t.pos, t.start, t.end) for t in tokens]
+
+
+def truncate_filter(tokens: list[Token], length: int = 10) -> list[Token]:
+    """``miscellaneous/TruncateTokenFilter.java``: cut every term to at
+    most ``length`` chars (the coarse stemming used for agglutinative
+    languages in the reference's Solr example schemas)."""
+    return [Token(t.term[:length], t.pos, t.start, t.end) for t in tokens]
+
+
+def reverse_filter(tokens: list[Token]) -> list[Token]:
+    """``reverse/ReverseStringFilter.java``: reverse each term — indexed
+    alongside the forward form it turns leading-wildcard queries
+    (``*suffix``) into cheap prefix scans over the reversed dictionary."""
+    return [Token(t.term[::-1], t.pos, t.start, t.end) for t in tokens]
+
+
+def capitalization_filter(tokens: list[Token]) -> list[Token]:
+    """``miscellaneous/CapitalizationFilter.java`` (default factory
+    settings: onlyFirstWord=false semantics per token): first char
+    uppercased, the rest lowercased."""
+    return [Token(t.term[:1].upper() + t.term[1:].lower(), t.pos,
+                  t.start, t.end) for t in tokens]
+
+
+def remove_duplicates(tokens: list[Token]) -> list[Token]:
+    """``miscellaneous/RemoveDuplicatesTokenFilter.java``: drop a token if
+    an earlier token at the SAME position has the same term (synonym
+    stacks commonly produce these)."""
+    seen: set[tuple[int, str]] = set()
+    out: list[Token] = []
+    for t in tokens:
+        if (t.pos, t.term) not in seen:
+            seen.add((t.pos, t.term))
+            out.append(t)
+    return out
+
+
+def limit_token_count(tokens: list[Token], max_tokens: int) -> list[Token]:
+    """``miscellaneous/LimitTokenCountFilter.java``: keep only the first
+    ``max_tokens`` tokens of the stream (the reference's guard for
+    pathological documents; the build pipeline's per-doc cap)."""
+    return tokens[:max_tokens]
+
+
+def pattern_replace(tokens: list[Token], pattern: str, replacement: str,
+                    replace_all: bool = True) -> list[Token]:
+    """``pattern/PatternReplaceFilter.java``: regex replace inside each
+    term (``replace_all=False`` = the factory's ``replace="first"``).
+    Empty results are KEPT as empty-term tokens, exactly like the
+    reference (callers chain :func:`length_filter` to drop them)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    count = 0 if replace_all else 1
+    return [Token(rx.sub(replacement, t.term, count=count),
+                  t.pos, t.start, t.end) for t in tokens]
+
+
+def fingerprint_filter(tokens: list[Token], separator: str = " ",
+                       max_output_size: int = 1024) -> list[Token]:
+    """``miscellaneous/FingerprintFilter.java`` (Solr's
+    FingerprintFilterFactory): consume the WHOLE stream and emit one
+    token — the sorted, deduplicated terms joined by ``separator`` — the
+    canonical near-canonical-dedup key (same idea as the OpenRefine
+    fingerprint clustering method).  Streams whose fingerprint would
+    exceed ``max_output_size`` chars emit nothing, per the reference's
+    maxOutputTokenSize guard."""
+    if not tokens:
+        return []
+    terms = sorted({t.term for t in tokens})
+    fp = separator.join(terms)
+    if len(fp) > max_output_size:
+        return []
+    return [Token(fp, 0, min(t.start for t in tokens),
+                  max(t.end for t in tokens))]

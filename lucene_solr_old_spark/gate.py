@@ -2988,6 +2988,124 @@ def _q_gopher_quality(spark, sf_dir):
     return gopher_quality_filter(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+# ---- late-r3 query/analysis surface: fingerprint, custom score, facet
+# prefix/missing, blended infix suggest ------------------------------------
+
+@_reg("fingerprint_filter", """
+WITH w AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS words
+           FROM documents)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(words)), ' ') AS fp
+FROM w ORDER BY doc_id""")
+def _q_fingerprint_filter(spark, sf_dir):
+    # Solr FingerprintFilter: whole stream -> one sorted-unique-terms
+    # token (the OpenRefine-style near-canonical dedup key); driven through
+    # the Python token-filter chain in Arrow batches
+    from .functions.filters import fingerprint_filter
+    from .functions.tokenizer import Token
+
+    def part(batches):
+        import re
+
+        import pandas as pd
+        ws = re.compile(r"\S+")
+        for b in batches:
+            fps = []
+            for text in b["text"]:
+                toks = [Token(m.group(0).lower(), i, m.start(), m.end())
+                        for i, m in enumerate(ws.finditer(text or ""))]
+                out = fingerprint_filter(toks, max_output_size=1 << 20)
+                fps.append(out[0].term if out else "")
+            yield pd.DataFrame({"doc_id": b["doc_id"], "fp": fps})
+
+    return (_docs(spark, sf_dir).select("doc_id", "text")
+            .mapInPandas(part, "doc_id long, fp string")
+            .orderBy("doc_id"))
+
+
+@_reg("boost_query", f"""WITH {_PRELUDE}, {_scored_cte(["spark", "join"])}
+SELECT s.doc_id, round(s.s * ln(1.0::DOUBLE + d.n_chars), 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY round(s.s * ln(1.0::DOUBLE + d.n_chars), 4) DESC, s.doc_id
+LIMIT 20""")
+def _q_boost_query(spark, sf_dir):
+    # CustomScoreQuery: BM25 subquery score x per-doc function value
+    # (ln(1+n_chars)), boost joined BEFORE the collector cut
+    from .operators.search import custom_score_search
+
+    idx = doc_index(spark, sf_dir)
+    boosts = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("boost"))
+    return _stable_topk(custom_score_search(
+        idx, "spark join", boosts, k=40, precision="float64"))
+
+
+@_reg("facet_prefix", f"""WITH {_PRELUDE},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT d.source AS value, count(*)::BIGINT AS cnt
+FROM m JOIN documents d USING(doc_id)
+WHERE starts_with(d.source, 'src1')
+GROUP BY d.source
+UNION ALL
+SELECT NULL::VARCHAR AS value, count(*)::BIGINT AS cnt
+FROM m JOIN documents d USING(doc_id)
+WHERE d.source IS NULL
+ORDER BY value NULLS LAST""")
+def _q_facet_prefix(spark, sf_dir):
+    # facet.prefix + facet.missing: only facet values under the prefix are
+    # counted (predicate pushed below the groupBy), plus the NULL-value row
+    from .operators.facets import facet_field
+
+    idx = doc_index(spark, sf_dir)
+    hits = (idx.postings.where(F.col("term") == "spark")
+            .select("seg", F.explode("postings.docid").alias("docid"))
+            .distinct()
+            .join(idx.docmeta.select("seg", "docid", "key"),
+                  ["seg", "docid"])
+            .select(F.col("key").cast("long").alias("doc_id")))
+    dims = _docs(spark, sf_dir).select("doc_id", "source")
+    return (facet_field(hits, dims, "source", key_col="doc_id",
+                        prefix="src1", missing=True)
+            .orderBy(F.asc_nulls_last("value")))
+
+
+_BLENDED_SURFACE_SQL = """CASE doc_id % 3
+  WHEN 0 THEN concat(source, ' setup notes')
+  WHEN 1 THEN concat('alpha ', source, ' setup')
+  ELSE concat('alpha beta ', source) END"""
+
+@_reg("blended_infix", f"""
+WITH s AS (SELECT doc_id, n_chars, {_BLENDED_SURFACE_SQL} AS surface,
+                  (doc_id % 3) AS pos
+           FROM documents
+           WHERE starts_with(source, 'src1'))
+SELECT surface, pos::BIGINT AS pos,
+       round(n_chars * (1.0::DOUBLE - 0.10::DOUBLE * pos), 6)
+         AS blended_weight
+FROM s
+ORDER BY blended_weight DESC, surface
+LIMIT 15""")
+def _q_blended_infix(spark, sf_dir):
+    # BlendedInfixSuggester POSITION_LINEAR: infix token match anywhere in
+    # the analyzed key, weight blended by 1 - 0.10*position
+    from .operators.spell import blended_infix_suggest, build_suggest_table
+
+    d = F.col("doc_id")
+    surfaces = _docs(spark, sf_dir).select(
+        F.when(d % 3 == 0,
+               F.concat(F.col("source"), F.lit(" setup notes")))
+        .when(d % 3 == 1,
+              F.concat(F.lit("alpha "), F.col("source"), F.lit(" setup")))
+        .otherwise(F.concat(F.lit("alpha beta "), F.col("source")))
+        .alias("surface"),
+        F.col("n_chars").alias("weight"))
+    table = build_suggest_table(surfaces, analyzer="english")
+    return blended_infix_suggest(table, "src1", k=15, blender="linear")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3025,14 +3143,14 @@ _PRIORITY: list[str] = [
     "payload_term", "decontaminate", "spellcheck_collate",
     "facet_interval", "heatmap_facet",
     "fuzzy_query", "freetext_suggest",
-    # -- canaries: one per family, long-stable.  Rotated out in favor of
-    # the r3 gates (all double-green r01+r02; they re-enter on the
-    # post-window rotation): bool_must_not, prefix_query, range_query,
-    # min_should_match, and minhash_lsh_pairs (whose pair pipeline
-    # dup_components re-verifies transitively through its oracle) --
-    "term_query",
-    "dismax", "phrase_query", "wand_topk",
-    "ann_search",
+    # -- late-r3 query/analysis surface (never certified) --
+    "fingerprint_filter", "boost_query", "facet_prefix", "blended_infix",
+    # -- canary: ONE long-stable integrative gate (wand_topk exercises
+    # codec + block-max + BM25 end-to-end).  The other canaries
+    # (term_query, dismax, phrase_query, ann_search — all double-green
+    # r01+r02) rotated out to fit the late-r3 never-certified gates; the
+    # full outside-window set re-enters on the round-4 rotation --
+    "wand_topk",
 ]
 
 

@@ -46,14 +46,29 @@ def matching_docs(index: InvertedIndex, terms: list[str],
 
 def facet_field(result_docs: DataFrame, dims: DataFrame, field: str,
                 key_col: str = "key", mincount: int = 1,
-                limit: int = 100) -> DataFrame:
-    """(field_value, cnt) count-desc, value-asc — facet.field semantics."""
+                limit: int = 100, prefix: str | None = None,
+                missing: bool = False) -> DataFrame:
+    """(field_value, cnt) count-desc, value-asc — facet.field semantics.
+
+    ``prefix`` = Solr's ``facet.prefix`` (only facet values starting with
+    it are counted — a pushed-down predicate, so at scale the groupBy sees
+    only the matching slice); ``missing`` = ``facet.missing`` (append a
+    NULL-value row counting docs with no value for the field)."""
     joined = result_docs.join(dims, key_col)
-    return (joined.groupBy(F.col(field).alias("value"))
-            .agg(F.count("*").alias("cnt"))
-            .where(F.col("cnt") >= mincount)
-            .orderBy(F.desc("cnt"), F.asc("value"))
-            .limit(limit))
+    vals = joined if prefix is None else joined.where(
+        F.col(field).startswith(prefix))
+    out = (vals.where(F.col(field).isNotNull())
+           .groupBy(F.col(field).alias("value"))
+           .agg(F.count("*").alias("cnt"))
+           .where(F.col("cnt") >= mincount)
+           .orderBy(F.desc("cnt"), F.asc("value"))
+           .limit(limit))
+    if missing:
+        miss = (joined.where(F.col(field).isNull())
+                .agg(F.count("*").alias("cnt"))
+                .select(F.lit(None).cast("string").alias("value"), "cnt"))
+        out = out.unionByName(miss)
+    return out
 
 
 def facet_range(result_docs: DataFrame, dims: DataFrame, field: str,

@@ -507,3 +507,33 @@ def ngram_phrase_search(index: InvertedIndex, query_text: str, n: int = 2,
     frame = phrase_score_frame(index, terms, precision, slop=0,
                                offsets=keep)
     return _topk(frame.select("seg", "docid", "score"), index, k, precision)
+
+
+def custom_score_search(index: InvertedIndex, query_text: str,
+                        boosts: DataFrame, k: int = 10,
+                        boost_col: str = "boost",
+                        precision: str = "float32") -> DataFrame:
+    """CustomScoreQuery (``lucene/queries/.../CustomScoreQuery.java``,
+    default ``CustomScoreProvider.customScore``): the BM25 subquery score
+    MULTIPLIED by a per-document function-query value.  The boost frame
+    (key, boost) joins in BEFORE the collector cut, so the top-k reflects
+    the boosted order — rescoring an unboosted top-k would be wrong
+    whenever a high-boost doc sits just past the unboosted cut.
+
+    Scale shape: the boost side is a per-doc scalar column — broadcast
+    when it is a small dim table; here it joins on the doc key AFTER the
+    per-term scoring aggregate (so the join input is |matching docs|, not
+    |postings|)."""
+    terms = _qterms(index, query_text)
+    if not terms:
+        return index.docmeta.select(
+            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    stype = "double" if precision == "float64" else "float"
+    scored, _ = term_score_frame(index, terms, precision=precision)
+    agg = scored.groupBy("seg", "docid").agg(F.sum("score").alias("score"))
+    with_keys = agg.join(index.docmeta.select("seg", "docid", "key"),
+                         ["seg", "docid"])
+    boosted = with_keys.join(boosts, "key").select(
+        "key",
+        (F.col("score") * F.col(boost_col)).cast(stype).alias("score"))
+    return boosted.orderBy(F.desc("score"), F.asc("key")).limit(k)

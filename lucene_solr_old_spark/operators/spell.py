@@ -401,3 +401,40 @@ def spellcheck_collate(index: InvertedIndex, query_text: str,
             .orderBy(F.asc("cid"))
             .select("collation", "total_dist", "hits")
             .limit(max_collations))
+
+
+def blended_infix_suggest(table: DataFrame, query: str, k: int = 10,
+                          blender: str = "linear",
+                          analyzer: str = "english") -> DataFrame:
+    """BlendedInfixSuggester (``suggest/analyzing/
+    BlendedInfixSuggester.java``): like the infix suggester but the weight
+    is BLENDED with a coefficient from the position of the first matched
+    token in the analyzed key —
+
+      * ``linear``     (POSITION_LINEAR, :46-52): ``1 - 0.10 * pos``
+        floored at the reference's minimum 0.
+      * ``reciprocal`` (POSITION_RECIPROCAL):      ``1 / (pos + 1)``.
+
+    Returns (surface, pos, blended_weight) ordered blended desc, surface
+    asc.  Catalyst-only: the first-match position comes from an indexed
+    ``transform`` over the split key — no UDF, no shuffle beyond top-k."""
+    qkey = _analyzed_key(query, analyzer)
+    toks = F.split(F.col("key"), " ")
+    match_positions = F.filter(
+        F.transform(toks, lambda t, i: F.when(
+            t.startswith(qkey), i).otherwise(F.lit(None))),
+        lambda x: x.isNotNull())
+    pos = F.array_min(match_positions)
+    if blender == "linear":
+        coef = F.greatest(F.lit(0.0), F.lit(1.0) - F.lit(0.10) * pos)
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (pos + F.lit(1.0))
+    else:
+        raise ValueError(f"unknown blender {blender!r}")
+    return (table.withColumn("pos", pos)
+            .where(F.col("pos").isNotNull())
+            .select("surface", F.col("pos").cast("long").alias("pos"),
+                    F.round(F.col("weight") * coef, 6)
+                    .alias("blended_weight"))
+            .orderBy(F.desc("blended_weight"), F.asc("surface"))
+            .limit(k))
