@@ -3106,6 +3106,101 @@ def _q_blended_infix(spark, sf_dir):
     return blended_infix_suggest(table, "src1", k=15, blender="linear")
 
 
+@_reg("complex_phrase", f"""WITH {_PRELUDE},
+exp0 AS (SELECT DISTINCT term FROM dfreq
+         WHERE term LIKE 's%' ORDER BY term LIMIT 50),
+p0 AS (SELECT DISTINCT t.doc_id, t.pos FROM tok t
+       WHERE t.term IN (SELECT term FROM exp0)),
+p1 AS (SELECT DISTINCT doc_id, pos - 1 AS pos FROM tok
+       WHERE term = 'join'),
+pf AS (SELECT p0.doc_id, count(*) AS pfreq
+       FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.pos = p1.pos
+       GROUP BY p0.doc_id),
+w AS (SELECT sum(ln(1 + ((SELECT max_doc FROM cs) - df + 0.5::DOUBLE)
+                   / (df + 0.5::DOUBLE))) * 2.2::DOUBLE AS wv
+      FROM dfreq
+      WHERE term IN (SELECT term FROM exp0) OR term = 'join')
+SELECT pf.doc_id,
+       round(((SELECT wv FROM w) * pf.pfreq)
+             / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE
+                + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) AS score
+FROM pf JOIN dl ON dl.doc_id = pf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+ORDER BY round(((SELECT wv FROM w) * pf.pfreq)
+         / (pf.pfreq + 1.2::DOUBLE*(0.25::DOUBLE
+            + (0.75::DOUBLE*lqt.lq)/{_AVGDL})), 4) DESC, pf.doc_id
+LIMIT 20""")
+def _q_complex_phrase(spark, sf_dir):
+    # ComplexPhraseQueryParser: the wildcard word expands against the term
+    # dictionary (term asc, capped 50) into a MultiPhraseQuery slot; exact
+    # adjacency via per-slot position-union intersection
+    from .plans.query import complex_phrase_search
+
+    idx = doc_index(spark, sf_dir)
+    return _stable_topk(complex_phrase_search(
+        idx, "s* join", k=40, precision="float64"))
+
+
+@_reg("parser_boost", f"""WITH {_PRELUDE},
+scored AS (
+  SELECT tf.doc_id,
+         SUM({_TERM_SCORE} * CASE tf.term WHEN 'spark' THEN 2.0::DOUBLE
+                                          ELSE 1.0::DOUBLE END) AS s
+  FROM tf
+  JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('join', 'spark')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20""")
+def _q_parser_boost(spark, sf_dir):
+    # classic query parser ^boost syntax (QueryParserBase handles ^f on any
+    # clause): spark^2 join -> 2x the spark clause's BM25 contribution
+    from .plans.query import execute
+
+    idx = doc_index(spark, sf_dir)
+    return _stable_topk(execute(idx, "spark^2 join", k=40,
+                                precision="float64"))
+
+
+@_reg("sweetspot_topk", f"""WITH {_PRELUDE},
+qn AS (SELECT 1.0::DOUBLE / sqrt(
+         {_IDF_T.format(t='spark')} * {_IDF_T.format(t='spark')}
+       + {_IDF_T.format(t='join')} * {_IDF_T.format(t='join')}) AS v),
+ts AS (
+  SELECT tf.doc_id,
+         SUM(sqrt(tf.freq)
+             * ((ln((SELECT max_doc FROM cs)/(dfreq.df + 1.0::DOUBLE))
+                 + 1.0::DOUBLE)
+                * (ln((SELECT max_doc FROM cs)/(dfreq.df + 1.0::DOUBLE))
+                   + 1.0::DOUBLE)
+                * (SELECT v FROM qn))
+             * (1.0::DOUBLE / sqrt(0.5::DOUBLE
+                  * (abs(lqt.lq - 20.0::DOUBLE)
+                     + abs(lqt.lq - 40.0::DOUBLE) - 20.0::DOUBLE)
+                  + 1.0::DOUBLE))) AS s,
+         count(*) AS nmatched
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('join','spark')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s * (nmatched / 2.0::DOUBLE), 4) AS score
+FROM ts ORDER BY round(s * (nmatched / 2.0::DOUBLE), 4) DESC, doc_id
+LIMIT 20""")
+def _q_sweetspot(spark, sf_dir):
+    # SweetSpotSimilarity: ClassicSimilarity with the plateaued length
+    # norm (no penalty for docs in the [20,40]-token sweet spot)
+    from .operators.tfidf import search_sweetspot
+
+    idx = doc_index(spark, sf_dir)
+    return _stable_topk(search_sweetspot(
+        idx, "spark join", k=40, ln_min=20, ln_max=40,
+        precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3151,6 +3246,11 @@ _PRIORITY: list[str] = [
     # r01+r02) rotated out to fit the late-r3 never-certified gates; the
     # full outside-window set re-enters on the round-4 rotation --
     "wand_topk",
+    # -- window OVERFLOW (positions 51+): never-certified gates that no
+    # longer fit the driver's 50-slot round; they sit FIRST in line after
+    # the window so the next round's rotation certifies them before
+    # anything else.  Green in the local check_gate sweep meanwhile. --
+    "complex_phrase", "parser_boost", "sweetspot_topk",
 ]
 
 

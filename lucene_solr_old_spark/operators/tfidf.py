@@ -252,3 +252,88 @@ def search_ib_spl(index: InvertedIndex, query_text: str, k: int = 10,
         "tscore", spl.cast(stype) * mmap[F.col("term")])
     agg = scored.groupBy("seg", "docid").agg(F.sum("tscore").alias("score"))
     return _topk(agg.select("seg", "docid", "score"), index, k, precision)
+
+
+def search_sweetspot(index: InvertedIndex, query_text: str, k: int = 10,
+                     tf_base: float = 0.0, tf_min: int = 0,
+                     ln_min: int = 1, ln_max: int = 1,
+                     ln_steep: float = 0.5,
+                     tf_mode: str = "baseline",
+                     hyper_min: float = 0.0, hyper_max: float = 2.0,
+                     hyper_base: float = math.e,
+                     hyper_xoffset: float = 10.0,
+                     precision: str = "float32") -> DataFrame:
+    """SweetSpotSimilarity (``lucene/misc/.../SweetSpotSimilarity.java``):
+    ClassicSimilarity with a plateaued length norm and a configurable tf —
+
+      * ``baselineTf`` (:112-120): ``tf_base`` for ``freq <= tf_min``,
+        else ``sqrt(freq + tf_base^2 - tf_min)``,
+      * ``hyperbolicTf`` (:130-142): tanh-shaped saturation between
+        ``hyper_min`` and ``hyper_max`` centered at ``hyper_xoffset``,
+      * ``lengthNorm`` (:87-96): ``1/sqrt(steep*(|l-min|+|l-max|-(max-min))
+        + 1)`` — exactly 1 on the ``[ln_min, ln_max]`` plateau, so docs in
+        the sweet-spot length band take no length penalty.
+
+    Divergence note: the reference bakes lengthNorm into the norm BYTE at
+    index time (floatToByte315 lossy); this engine stores the quantized
+    doc length (LQ64) and computes lengthNorm at query time from it —
+    same quantization point, one fewer lossy encode."""
+    from .search import LQ64
+
+    stype = "double" if precision == "float64" else "float"
+    terms = [t.term for t in get_analyzer(index.analyzer)(query_text)]
+    if not terms:
+        return index.docmeta.select(
+            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+    uniq = sorted(set(terms))
+    mult = {t: terms.count(t) for t in uniq}
+    max_doc, _ = index.collection_stats()
+    tstats = index.term_stats(uniq)
+    idf = {t: math.log(max_doc / (tstats.get(t, (0, 0))[0] + 1.0)) + 1.0
+           for t in uniq}
+    ssw = sum(mult[t] * idf[t] ** 2 for t in uniq)
+    query_norm = 1.0 / math.sqrt(ssw) if ssw > 0 else 0.0
+    value = {t: idf[t] * idf[t] * query_norm * mult[t] for t in uniq}
+    vmap = F.create_map(*[x for t, v in value.items()
+                          for x in (F.lit(t), F.lit(v).cast(stype))])
+    # lengthNorm over the 64 quantized doc lengths — a tiny lookup array
+    lnorm = [1.0 / math.sqrt(
+        ln_steep * (abs(dl - ln_min) + abs(dl - ln_max) - (ln_max - ln_min))
+        + 1.0) for dl in LQ64]
+    lnorm_arr = F.array(*[F.lit(v).cast(stype) for v in lnorm])
+
+    exploded = (index.postings.where(F.col("term").isin(uniq))
+                .select("seg", "term", F.explode("postings").alias("p"))
+                .select("seg", "term",
+                        F.col("p.docid").alias("docid"),
+                        F.col("p.freq").alias("freq"),
+                        F.col("p.norm").alias("norm")))
+    freq = F.col("freq").cast(stype)
+    if tf_mode == "baseline":
+        tf = F.when(freq <= F.lit(float(tf_min)),
+                    F.lit(float(tf_base)).cast(stype)) \
+             .otherwise(F.sqrt(freq + F.lit(tf_base * tf_base - tf_min)
+                               .cast(stype)))
+    elif tf_mode == "hyperbolic":
+        x = freq - F.lit(hyper_xoffset).cast(stype)
+        bx = F.pow(F.lit(hyper_base).cast(stype), x)
+        bnx = F.pow(F.lit(hyper_base).cast(stype), -x)
+        tf = (F.lit(hyper_min).cast(stype)
+              + F.lit((hyper_max - hyper_min) / 2.0).cast(stype)
+              * ((bx - bnx) / (bx + bnx) + F.lit(1.0).cast(stype)))
+    else:
+        raise ValueError(f"unknown tf_mode {tf_mode!r}")
+    tf = F.when(freq == 0, F.lit(0.0).cast(stype)).otherwise(tf)
+    decoded = F.element_at(lnorm_arr, F.col("norm") + 1)
+    scored = exploded.withColumn("tscore", tf * vmap[F.col("term")] * decoded)
+    mmap = F.create_map(*[x for t, m in mult.items()
+                          for x in (F.lit(t), F.lit(m))])
+    agg = scored.groupBy("seg", "docid").agg(
+        F.sum("tscore").alias("_sum"),
+        F.sum(mmap[F.col("term")]).alias("nmatched"))
+    coord = (F.col("nmatched").cast(stype)
+             / F.lit(float(len(terms))).cast(stype))
+    return _topk(agg.select(
+        "seg", "docid",
+        (F.col("_sum") * coord).cast(stype).alias("score")), index, k,
+        precision)

@@ -322,3 +322,49 @@ def execute(index: InvertedIndex, query, k: int = 10,
     return (out.select("key", F.col("score").cast(stype).alias("score"))
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(k))
+
+
+def complex_phrase_search(index: InvertedIndex, phrase: str, k: int = 10,
+                          precision: str = "float32",
+                          max_expansions: int = 50) -> DataFrame:
+    """ComplexPhraseQueryParser (``lucene/queryparser/.../complexPhrase/
+    ComplexPhraseQueryParser.java``): wildcard (``*``/``?``) and fuzzy
+    (``~``) words INSIDE a quoted phrase.  Each multi-term word expands
+    against the term dictionary — wildcards in term order, fuzzy by
+    (distance asc, term asc) — capped at ``max_expansions`` (the
+    TopTermsRewrite discipline), and the expanded sets become the position
+    slots of a MultiPhraseQuery.
+
+    Expansion is a dictionary-sized scan with a TakeOrderedAndProject cap
+    (≤``max_expansions`` rows reach the driver), never a doc scan.  Note:
+    expanded dictionary terms re-pass the index analyzer inside
+    ``multi_phrase`` — exact for chains idempotent on their own output
+    (``ws_stop``; English stems re-stem to themselves for this corpus)."""
+    from ..operators.spans import multi_phrase
+
+    analyzer = get_analyzer(index.analyzer)
+    slots: list[list[str]] = []
+    for w in phrase.split():
+        fm = _FUZZY_RE.match(w)
+        if "*" in w or "?" in w:
+            rows = (index.postings.select("term").distinct()
+                    .where(F.col("term").rlike(_wildcard_regex(w.lower())))
+                    .orderBy(F.asc("term"))
+                    .limit(max_expansions)
+                    .collect())
+            terms = sorted(r["term"] for r in rows)
+        elif fm and fm.group("edits") != "0":
+            edits = int(fm.group("edits") or 2)
+            terms = _fuzzy_terms(index, FuzzyClause(
+                fm.group("base").lower(), edits,
+                max_expansions=max_expansions))
+        else:
+            terms = [t.term for t in analyzer(w)]
+        if not terms:
+            # a slot with no dictionary match can never complete a phrase
+            return index.docmeta.select(
+                "key", F.lit(0.0).cast(
+                    "double" if precision == "float64" else "float")
+                .alias("score")).limit(0)
+        slots.append(terms)
+    return multi_phrase(index, slots, k=k, precision=precision)

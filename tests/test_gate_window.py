@@ -39,13 +39,19 @@ def test_priority_no_duplicates():
 
 
 def test_never_certified_gates_inside_window():
+    # never-certified gates must be inside the driver's 50-slot window OR
+    # in the documented _PRIORITY overflow (positions 51+) — i.e. first in
+    # line for next round's rotation.  More than 50 never-certified gates
+    # cannot all be certified in one round by construction.
     ordered = list(gate.ordered_gate())
-    window = set(ordered[: gate.DRIVER_WINDOW])
+    allowed = set(ordered[: gate.DRIVER_WINDOW]) | set(
+        gate._PRIORITY[gate.DRIVER_WINDOW:])
     never = [n for n in gate.GATE
-             if n not in _HISTORICALLY_GREEN and n not in window]
+             if n not in _HISTORICALLY_GREEN and n not in allowed]
     assert not never, (
         f"gates with no driver-green history are outside the first "
-        f"{gate.DRIVER_WINDOW} queries() entries: {never}")
+        f"{gate.DRIVER_WINDOW} queries() entries and not in the "
+        f"documented overflow: {never}")
 
 
 def test_ordered_gate_is_permutation():
