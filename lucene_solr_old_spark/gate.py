@@ -3201,6 +3201,78 @@ def _q_sweetspot(spark, sf_dir):
         precision="float64"))
 
 
+@_reg("join_util", f"""WITH {_PRELUDE}, {_scored_cte(["vector"])},
+j AS (SELECT d.lang AS jterm, avg(s.s) AS jscore
+      FROM scored s JOIN documents d USING(doc_id)
+      GROUP BY d.lang)
+SELECT d.doc_id AS to_key, round(j.jscore, 4) AS score
+FROM documents d JOIN j ON d.lang = j.jterm
+ORDER BY round(j.jscore, 4) DESC, d.doc_id
+LIMIT 25""")
+def _q_join_util(spark, sf_dir):
+    # JoinUtil.createJoinQuery ScoreMode.Avg: from-side BM25 scores
+    # aggregated per join term (lang), broadcast onto the to side
+    from .operators.blockjoin import join_util_search
+
+    idx = doc_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    from_dims = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        "lang")
+    to_docs = docs.select(F.col("doc_id").alias("to_id"), "lang")
+    out = join_util_search(idx, "vector", from_dims, "lang",
+                           to_docs, "lang", mode="avg", k=25,
+                           key_col="to_id", precision="float64")
+    return out.select(F.col("to_key").cast("long").alias("to_key"),
+                      F.round("score", 4).alias("score")) \
+              .orderBy(F.desc("score"), F.asc("to_key"))
+
+
+@_reg("scale_query", """
+WITH b AS (SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx
+           FROM documents)
+SELECT doc_id,
+       round((n_chars - b.mn) / (b.mx - b.mn) * 10.0::DOUBLE, 6)
+         AS n_chars_scaled
+FROM documents, b
+ORDER BY doc_id""")
+def _q_scale_query(spark, sf_dir):
+    # Solr scale(field, tgtMin, tgtMax): corpus-global min-max rescale as
+    # agg -> broadcast -> map (no collect, no global sort)
+    from .operators.functionq import scale_column
+
+    return (scale_column(_docs(spark, sf_dir), "n_chars", 0.0, 10.0,
+                         ndigits=6)
+            .select("doc_id", "n_chars_scaled").orderBy("doc_id"))
+
+
+@_reg("context_suggest", """
+WITH s AS (SELECT doc_id, concat('term', (doc_id % 50)::VARCHAR) AS surface,
+                  n_chars AS weight, lang
+           FROM documents),
+m AS (SELECT surface, weight,
+             CASE lang WHEN 'en' THEN 1.0::DOUBLE
+                       WHEN 'fr' THEN 2.0::DOUBLE END AS boost
+      FROM s
+      WHERE starts_with(surface, 'term1') AND lang IN ('en', 'fr'))
+SELECT surface, weight, round(weight * boost, 6) AS score
+FROM m ORDER BY score DESC, surface
+LIMIT 15""")
+def _q_context_suggest(spark, sf_dir):
+    # ContextQuery: prefix completion filtered to allowed contexts, each
+    # context boosting the suggestion weight
+    from .operators.spell import build_suggest_table, context_suggest
+
+    surfaces = _docs(spark, sf_dir).select(
+        F.concat(F.lit("term"),
+                 (F.col("doc_id") % 50).cast("string")).alias("surface"),
+        F.col("n_chars").alias("weight"),
+        F.array(F.col("lang")).alias("ctx"))
+    table = build_suggest_table(surfaces, analyzer="english",
+                                contexts_col="ctx")
+    return context_suggest(table, "term1", {"en": 1.0, "fr": 2.0}, k=15)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3251,6 +3323,7 @@ _PRIORITY: list[str] = [
     # the window so the next round's rotation certifies them before
     # anything else.  Green in the local check_gate sweep meanwhile. --
     "complex_phrase", "parser_boost", "sweetspot_topk",
+    "join_util", "scale_query", "context_suggest",
 ]
 
 

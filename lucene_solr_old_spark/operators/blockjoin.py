@@ -122,3 +122,63 @@ def search_children_of(index: InvertedIndex, parent_query: str,
     return (joined.select(F.col("key").alias("child_key"), "parent_key",
                           "score")
             .orderBy(F.desc("score"), F.asc("child_key")).limit(k))
+
+
+def join_util_search(index: InvertedIndex, from_query: str,
+                     from_dims: DataFrame, from_field: str,
+                     to_docs: DataFrame, to_field: str,
+                     mode: str = "avg", k: int = 10,
+                     key_col: str = "key",
+                     precision: str = "float32") -> DataFrame:
+    """Query-time join, ``lucene/join/.../JoinUtil.createJoinQuery`` with
+    its four ScoreModes (``TermsWithScoreCollector.java``): run
+    ``from_query`` on the from side, collect each matching doc's
+    ``from_field`` value, aggregate the scores PER JOIN TERM —
+
+      ``none`` -> 1.0, ``avg`` -> mean, ``max`` -> max, ``total`` -> sum
+
+    — then every to-doc whose ``to_field`` equals a collected term scores
+    that term's aggregate.  Returns top-k (to_key, score), (score desc,
+    key asc).
+
+    Scale shape: the per-term aggregate is |matching from-docs| reduced to
+    |distinct join terms| rows — almost always a broadcastable frame — so
+    the to-side never shuffles: scan -> broadcast-hash-join -> top-k."""
+    from pyspark.sql import functions as F
+
+    from .search import _qterms, term_score_frame
+
+    stype = "double" if precision == "float64" else "float"
+    terms = _qterms(index, from_query)
+    if not terms:
+        return to_docs.select(
+            F.col(key_col).alias("to_key"),
+            F.lit(0.0).cast(stype).alias("score")).limit(0)
+    scored, _ = term_score_frame(index, terms, precision=precision)
+    per_doc = scored.groupBy("seg", "docid").agg(F.sum("score").alias("s"))
+    with_field = (per_doc
+                  .join(index.docmeta.select("seg", "docid", "key"),
+                        ["seg", "docid"])
+                  .join(from_dims.withColumnRenamed(from_field, "_jterm"),
+                        "key"))
+    if mode == "none":
+        agg = (with_field.select("_jterm").distinct()
+               .withColumn("jscore", F.lit(1.0).cast(stype)))
+    elif mode == "avg":
+        agg = with_field.groupBy("_jterm").agg(
+            F.avg("s").cast(stype).alias("jscore"))
+    elif mode == "max":
+        agg = with_field.groupBy("_jterm").agg(
+            F.max("s").cast(stype).alias("jscore"))
+    elif mode == "total":
+        agg = with_field.groupBy("_jterm").agg(
+            F.sum("s").cast(stype).alias("jscore"))
+    else:
+        raise ValueError(f"unknown score mode {mode!r}")
+    out = to_docs.join(
+        F.broadcast(agg),
+        to_docs[to_field] == agg["_jterm"])
+    return (out.select(F.col(key_col).alias("to_key"),
+                       F.col("jscore").alias("score"))
+            .orderBy(F.desc("score"), F.asc("to_key"))
+            .limit(k))

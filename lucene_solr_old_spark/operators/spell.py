@@ -38,7 +38,7 @@ __all__ = ["spellcheck", "suggest_prefix", "term_range",
            "build_suggest_table", "analyzing_suggest", "fuzzy_suggest",
            "build_freetext_table", "free_text_suggest",
            "word_break_suggest", "infix_suggest", "word_combine_suggest",
-           "spellcheck_collate"]
+           "spellcheck_collate", "blended_infix_suggest", "context_suggest"]
 
 
 def _global_terms(index: InvertedIndex) -> DataFrame:
@@ -71,10 +71,13 @@ def suggest_prefix(index: InvertedIndex, prefix: str, k: int = 10) -> DataFrame:
 
 def build_suggest_table(surfaces: DataFrame, surface_col: str = "surface",
                         weight_col: str = "weight",
-                        analyzer: str = "english") -> DataFrame:
-    """(key, surface, weight): the AnalyzingSuggester build step — analyze
-    each surface, join the analyzed terms with ' ' into the lookup key
-    (the FST input; ``AnalyzingSuggester.build`` :395-460)."""
+                        analyzer: str = "english",
+                        contexts_col: str | None = None) -> DataFrame:
+    """(key, surface, weight[, contexts]): the AnalyzingSuggester build
+    step — analyze each surface, join the analyzed terms with ' ' into the
+    lookup key (the FST input; ``AnalyzingSuggester.build`` :395-460).
+    ``contexts_col`` (an array<string> column) passes through for
+    :func:`context_suggest` (the ContextSuggestField analogue)."""
     from ..functions.tokenizer import get_analyzer
 
     analyze_fn = get_analyzer(analyzer)
@@ -84,12 +87,17 @@ def build_suggest_table(surfaces: DataFrame, surface_col: str = "surface",
         for pdf in batches:
             keys = [" ".join(t.term for t in analyze_fn(s or ""))
                     for s in pdf[surface_col]]
-            yield pd.DataFrame({"key": keys,
-                                "surface": pdf[surface_col],
-                                "weight": pdf[weight_col]})
+            out = {"key": keys,
+                   "surface": pdf[surface_col],
+                   "weight": pdf[weight_col]}
+            if contexts_col is not None:
+                out["contexts"] = pdf[contexts_col]
+            yield pd.DataFrame(out)
 
-    return surfaces.mapInPandas(
-        keyize, schema="key STRING, surface STRING, weight LONG")
+    schema = "key STRING, surface STRING, weight LONG"
+    if contexts_col is not None:
+        schema += ", contexts ARRAY<STRING>"
+    return surfaces.mapInPandas(keyize, schema=schema)
 
 
 def _analyzed_key(query: str, analyzer: str) -> str:
@@ -437,4 +445,35 @@ def blended_infix_suggest(table: DataFrame, query: str, k: int = 10,
                     F.round(F.col("weight") * coef, 6)
                     .alias("blended_weight"))
             .orderBy(F.desc("blended_weight"), F.asc("surface"))
+            .limit(k))
+
+
+def context_suggest(table: DataFrame, query: str,
+                    contexts: dict[str, float] | list[str],
+                    k: int = 10, analyzer: str = "english") -> DataFrame:
+    """ContextQuery over ContextSuggestField (``suggest/document/
+    ContextQuery.java``): prefix completion restricted to suggestions
+    carrying at least one of the allowed contexts, each context with a
+    boost — score = weight * max(boost over the suggestion's matching
+    contexts) (:198-210 scores per matched context; the max dedups a
+    multi-context suggestion to its best path).
+
+    Returns (surface, weight, score) score desc, surface asc.  Catalyst
+    array ops over the suggest table: filter -> transform -> array_max;
+    the only shuffle is the final top-k."""
+    if not isinstance(contexts, dict):
+        contexts = {c: 1.0 for c in contexts}
+    allowed = sorted(contexts)
+    qkey = _analyzed_key(query, analyzer)
+    bmap = F.create_map(*[x for c in allowed
+                          for x in (F.lit(c),
+                                    F.lit(float(contexts[c])))])
+    matched_ctx = F.filter(F.col("contexts"), lambda c: c.isin(allowed))
+    score = F.round(F.col("weight")
+                    * F.array_max(F.transform(matched_ctx,
+                                              lambda c: bmap[c])), 6)
+    return (table.where(F.col("key").startswith(qkey))
+            .where(F.size(matched_ctx) > 0)
+            .select("surface", "weight", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("surface"))
             .limit(k))
