@@ -3273,6 +3273,130 @@ def _q_context_suggest(spark, sf_dir):
     return context_suggest(table, "term1", {"en": 1.0, "fr": 2.0}, k=15)
 
 
+# ---- deterministic sampling / mixing + retrieval-quality eval -------------
+
+def _q_sampling_sql():
+    from .operators.sampling import hash_threshold
+    t30 = hash_threshold(0.3)
+    t1, t5, t25 = (hash_threshold(1.0), hash_threshold(0.5),
+                   hash_threshold(0.25))
+    tr, va = hash_threshold(0.8), hash_threshold(0.9)
+    return t30, t1, t5, t25, tr, va
+
+
+_T30, _T1, _T5, _T25, _TTR, _TVA = _q_sampling_sql()
+
+
+@_reg("hash_sample", f"""
+SELECT doc_id, source
+FROM documents
+WHERE md5(doc_id::VARCHAR || 's1') < '{_T30}'
+ORDER BY doc_id""")
+def _q_hash_sample(spark, sf_dir):
+    # content-hash sampling: membership decided by md5(key||seed), so the
+    # same doc survives every rerun at any partitioning (df.sample does
+    # not guarantee that)
+    from .operators.sampling import hash_sample
+
+    return (hash_sample(_docs(spark, sf_dir), 0.3, seed="s1")
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+@_reg("mix_split", f"""
+WITH kept AS (
+  SELECT doc_id, source
+  FROM documents
+  WHERE source IN ('src1', 'src2', 'src3')
+    AND md5(doc_id::VARCHAR || 'mx') <
+        CASE source WHEN 'src1' THEN '{_T1}'
+                    WHEN 'src2' THEN '{_T5}'
+                    WHEN 'src3' THEN '{_T25}' END)
+SELECT doc_id, source,
+       CASE WHEN md5(doc_id::VARCHAR || 'sp') < '{_TTR}' THEN 'train'
+            WHEN md5(doc_id::VARCHAR || 'sp') < '{_TVA}' THEN 'val'
+            ELSE 'test' END AS split
+FROM kept ORDER BY doc_id""")
+def _q_mix_split(spark, sf_dir):
+    # training-mixture rates per source, then a disjoint-exhaustive
+    # train/val/test assignment — both by content hash (reproducible at
+    # 100 TB, zero shuffles)
+    from .operators.sampling import hash_split, mix_sources
+
+    mixed = mix_sources(_docs(spark, sf_dir),
+                        {"src1": 1.0, "src2": 0.5, "src3": 0.25},
+                        seed="mx")
+    return (hash_split(mixed, {"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed="sp")
+            .select("doc_id", "source", "split").orderBy("doc_id"))
+
+
+@_reg("trec_eval", """
+WITH res AS (
+  SELECT doc_id % 5 AS qid, doc_id,
+         row_number() OVER (PARTITION BY doc_id % 5
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents),
+qrels AS (
+  SELECT doc_id % 5 AS qid, doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS rel
+  FROM documents WHERE doc_id % 3 = 0 OR doc_id % 7 = 0),
+j AS (SELECT r.qid, r.doc_id, r.rank, coalesce(q.rel, 0) AS rel
+      FROM res r LEFT JOIN qrels q
+        ON q.qid = r.qid AND q.doc_id = r.doc_id
+      WHERE r.rank <= 10),
+cum AS (SELECT *, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY qid ORDER BY rank) AS n_rel_at
+        FROM j),
+perq AS (SELECT qid,
+                sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+                sum(CASE WHEN rel > 0 THEN n_rel_at::DOUBLE / rank
+                         ELSE 0 END) AS ap_num,
+                min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                sum((pow(2.0::DOUBLE, rel) - 1.0) / log2(rank + 1.0))
+                  AS dcg
+         FROM cum GROUP BY qid),
+ideal AS (SELECT qid, count(*)::BIGINT AS n_rel,
+                 sum(CASE WHEN irank <= 10
+                          THEN (pow(2.0::DOUBLE, rel) - 1.0)
+                               / log2(irank + 1.0)
+                          ELSE 0 END) AS idcg
+          FROM (SELECT qid, rel, doc_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY rel DESC, doc_id)
+                         AS irank
+                FROM qrels)
+          GROUP BY qid)
+SELECT p.qid, i.n_rel,
+       round(p.hits / 10.0::DOUBLE, 6) AS p_at_k,
+       round(CASE WHEN i.n_rel > 0 THEN p.hits::DOUBLE / i.n_rel
+                  ELSE 0 END, 6) AS recall_at_k,
+       round(CASE WHEN i.n_rel > 0 THEN p.ap_num / i.n_rel
+                  ELSE 0 END, 6) AS ap,
+       round(CASE WHEN p.first_rel IS NOT NULL
+                  THEN 1.0::DOUBLE / p.first_rel ELSE 0 END, 6) AS rr,
+       round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0 END, 6)
+         AS ndcg_at_k
+FROM perq p JOIN ideal i USING (qid)
+ORDER BY p.qid""")
+def _q_trec_eval(spark, sf_dir):
+    # benchmark/quality QualityStats: P@k, recall, AP, MRR, NDCG for all
+    # queries in ONE relational plan (the reference loops queries)
+    from .operators.quality import eval_ranking
+
+    docs = _docs(spark, sf_dir)
+    wq = Window.partitionBy(F.col("doc_id") % 5) \
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    results = docs.select(
+        (F.col("doc_id") % 5).alias("qid"), "doc_id",
+        F.row_number().over(wq).alias("rank"))
+    qrels = docs.where((F.col("doc_id") % 3 == 0)
+                       | (F.col("doc_id") % 7 == 0)).select(
+        (F.col("doc_id") % 5).alias("qid"), "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(2)).otherwise(F.lit(1))
+        .alias("rel"))
+    return eval_ranking(results, qrels, k=10).orderBy("qid")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3324,6 +3448,7 @@ _PRIORITY: list[str] = [
     # anything else.  Green in the local check_gate sweep meanwhile. --
     "complex_phrase", "parser_boost", "sweetspot_topk",
     "join_util", "scale_query", "context_suggest",
+    "hash_sample", "mix_split", "trec_eval",
 ]
 
 
