@@ -169,6 +169,31 @@ def main() -> None:
                 .select("embedding").first()[0])
     timed("cosine_topk", lambda: SIM.cosine_topk(emb, qvec, k=10).collect())
 
+    # full corpus-cleaning stack over the 300k pages' golden text:
+    # PII scrub -> C4 line/page filter -> Gopher quality -> split.  Every
+    # stage is per-row Catalyst, so the whole stack is ONE narrow pass
+    # over the scan (zero shuffles) — the shape it keeps at 100 TB.
+    from lucene_solr_old_spark.operators import cleaning as CL
+    from lucene_solr_old_spark.operators.sampling import hash_split
+
+    def clean_stack():
+        base = pages.select("url", "text")
+        p = CL.pii_scrub(base, key_col="url", text_col="text") \
+            .select("url", F.col("text_clean").alias("text"))
+        c4 = CL.c4_line_filter(p, key_col="url", text_col="text",
+                               min_lines=2)
+        kept = c4.where("page_keep") \
+            .select("url", F.col("text_clean").alias("text"))
+        g = CL.gopher_quality_filter(kept, key_col="url", text_col="text",
+                                     min_words=20)
+        return hash_split(g.where("keep"), {"train": 0.9, "val": 0.05,
+                                            "test": 0.05},
+                          key_col="url").count()
+
+    kept_docs = timed("clean_300k", clean_stack)
+    extras["clean_docs_per_sec"] = round(n_pages / timings["clean_300k"], 1)
+    extras["clean_kept_docs"] = kept_docs
+
     # early-terminated sorted top-k over the synthetic pages (index-time
     # sort paid once, then seg_pos<k prune) vs the full global sort
     from lucene_solr_old_spark.operators.earlyterm import (

@@ -3397,6 +3397,34 @@ def _q_trec_eval(spark, sf_dir):
     return eval_ranking(results, qrels, k=10).orderBy("qid")
 
 
+@_reg("rescore_query", f"""WITH {_PRELUDE},
+s1 AS (
+  SELECT tf.doc_id, SUM({_TERM_SCORE}) AS s
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term IN ('join', 'spark') GROUP BY tf.doc_id),
+s2 AS (
+  SELECT tf.doc_id, SUM({_TERM_SCORE}) AS s
+  FROM tf JOIN dfreq USING(term)
+  JOIN dl ON dl.doc_id = tf.doc_id JOIN lqt ON lqt.doclen = dl.doclen
+  WHERE tf.term = 'fast' GROUP BY tf.doc_id)
+SELECT s1.doc_id,
+       round(s1.s + 2.0::DOUBLE * coalesce(s2.s, 0.0::DOUBLE), 4) AS score
+FROM s1 LEFT JOIN s2 USING (doc_id)
+ORDER BY round(s1.s + 2.0::DOUBLE * coalesce(s2.s, 0.0::DOUBLE), 4) DESC,
+         s1.doc_id
+LIMIT 20""")
+def _q_rescore(spark, sf_dir):
+    # QueryRescorer: first-pass BM25 top-n, second query adds weight x its
+    # score over the RETAINED docs only; n=500 covers every match so the
+    # first-pass cut is boundary-free for the oracle
+    from .operators.search import rescore
+
+    idx = doc_index(spark, sf_dir)
+    return _stable_topk(rescore(idx, "spark join", "fast", n=500, k=40,
+                                weight=2.0, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3448,7 +3476,7 @@ _PRIORITY: list[str] = [
     # anything else.  Green in the local check_gate sweep meanwhile. --
     "complex_phrase", "parser_boost", "sweetspot_topk",
     "join_util", "scale_query", "context_suggest",
-    "hash_sample", "mix_split", "trec_eval",
+    "hash_sample", "mix_split", "trec_eval", "rescore_query",
 ]
 
 

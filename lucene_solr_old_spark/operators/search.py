@@ -537,3 +537,41 @@ def custom_score_search(index: InvertedIndex, query_text: str,
         "key",
         (F.col("score") * F.col(boost_col)).cast(stype).alias("score"))
     return boosted.orderBy(F.desc("score"), F.asc("key")).limit(k)
+
+
+def rescore(index: InvertedIndex, first_query: str, second_query: str,
+            n: int = 100, k: int = 10, weight: float = 2.0,
+            mode: str = "OR", precision: str = "float32") -> DataFrame:
+    """QueryRescorer (``search/QueryRescorer.java``): run ``first_query``,
+    keep its top-``n``, add ``weight x`` the second query's score for every
+    kept doc that matches it (the reference's default ``combine`` =
+    firstPassScore + weight * secondPassScore when it matches), re-sort,
+    return top-``k``.
+
+    The second pass scores ONLY the n retained docs (a join against the
+    top-n frame, which is broadcastable for any practical n) — the
+    expensive query never touches the full corpus, which is the entire
+    point of rescoring at 100 TB."""
+    stype = "double" if precision == "float64" else "float"
+    first = search_terms(index, first_query, mode, k=n,
+                         precision=precision) \
+        .withColumnRenamed("score", "first_score")
+    terms2 = _qterms(index, second_query)
+    if not terms2:
+        return (first.select("key",
+                             F.col("first_score").alias("score"))
+                .orderBy(F.desc("score"), F.asc("key")).limit(k))
+    scored2, _ = term_score_frame(index, terms2, precision=precision)
+    per_doc2 = (scored2.groupBy("seg", "docid")
+                .agg(F.sum("score").alias("second_score"))
+                .join(index.docmeta.select("seg", "docid", "key"),
+                      ["seg", "docid"])
+                .select("key", "second_score"))
+    combined = (first.join(per_doc2, "key", "left")
+                .select("key",
+                        (F.col("first_score")
+                         + F.lit(weight).cast(stype)
+                         * F.coalesce(F.col("second_score"),
+                                      F.lit(0.0).cast(stype)))
+                        .cast(stype).alias("score")))
+    return combined.orderBy(F.desc("score"), F.asc("key")).limit(k)

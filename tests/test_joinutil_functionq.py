@@ -108,3 +108,41 @@ def test_context_suggest_multi_context_takes_max_boost(spark):
                                 contexts_col="ctx")
     out = context_suggest(table, "apple", {"food": 1.0, "tech": 3.0}, k=10)
     assert out.collect()[0]["score"] == 30.0
+
+
+def test_rescore_moves_second_query_match_up(spark):
+    from lucene_solr_old_spark.operators.search import rescore, search_terms
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha alpha alpha common"),
+         ("d2", "alpha beta common pad"),
+         ("d3", "beta beta pad pad")],
+        "key string, text string")
+    idx = build_index(docs, key_col="key", text_col="text",
+                      num_segments=1, analyzer="ws_stop")
+    first = [r["key"] for r in
+             search_terms(idx, "alpha", k=3, precision="float64").collect()]
+    assert first[0] == "d1"
+    # heavy weight on 'beta' lifts d2 over d1 in the rescored order
+    res = [r["key"] for r in
+           rescore(idx, "alpha", "beta", n=10, k=3, weight=50.0,
+                   precision="float64").collect()]
+    assert res[0] == "d2"
+    # docs outside the first-pass top-n never enter (d3 matches only beta)
+    assert "d3" not in res
+
+
+def test_rescore_weight_zero_preserves_first_pass(spark):
+    from lucene_solr_old_spark.operators.search import rescore, search_terms
+
+    docs = spark.createDataFrame(
+        [("a", "one two"), ("b", "one one"), ("c", "two two")],
+        "key string, text string")
+    idx = build_index(docs, key_col="key", text_col="text",
+                      num_segments=1, analyzer="ws_stop")
+    base = [(r["key"], r["score"]) for r in
+            search_terms(idx, "one", k=5, precision="float64").collect()]
+    re0 = [(r["key"], r["score"]) for r in
+           rescore(idx, "one", "two", n=5, k=5, weight=0.0,
+                   precision="float64").collect()]
+    assert base == re0
