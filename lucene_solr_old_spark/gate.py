@@ -3416,13 +3416,93 @@ ORDER BY round(s1.s + 2.0::DOUBLE * coalesce(s2.s, 0.0::DOUBLE), 4) DESC,
 LIMIT 20""")
 def _q_rescore(spark, sf_dir):
     # QueryRescorer: first-pass BM25 top-n, second query adds weight x its
-    # score over the RETAINED docs only; n=500 covers every match so the
-    # first-pass cut is boundary-free for the oracle
+    # score over the RETAINED docs only; n >= the corpus size so the
+    # first-pass cut is boundary-free for the (uncut) oracle at every sf
     from .operators.search import rescore
 
     idx = doc_index(spark, sf_dir)
-    return _stable_topk(rescore(idx, "spark join", "fast", n=500, k=40,
+    n_all = _docs(spark, sf_dir).count()
+    return _stable_topk(rescore(idx, "spark join", "fast", n=n_all, k=40,
                                 weight=2.0, precision="float64"))
+
+
+# ---- IVF ANN: deterministic k-means coarse quantizer + probe search -------
+
+# one Lloyd iteration, k=8, over the 64-dim embeddings: seeds = the 8
+# lowest vec_ids, every centroid component and distance rounded to 6
+# half-away (the engine's engine-reproducibility contract)
+_IVF_CTES = """
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+              list_transform(embedding, x -> round(x::DOUBLE, 6)) AS cv
+       FROM embeddings ORDER BY vec_id LIMIT 8),
+d0 AS (SELECT e.vec_id, c.cid,
+              round(list_sum(list_transform(list_zip(e.embedding, c.cv),
+                    p -> (p[1]::DOUBLE - p[2]) ^ 2)), 6) AS dist
+       FROM embeddings e CROSS JOIN c0 c),
+a0 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rk
+         FROM d0) WHERE rk = 1),
+ex AS (SELECT a.cid, unnest(e.embedding)::DOUBLE AS v,
+              unnest(range(1, 65)) AS pos
+       FROM embeddings e JOIN a0 a USING (vec_id)),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS cv
+       FROM (SELECT cid, pos, round(sum(v) / count(*), 6) AS m
+             FROM ex GROUP BY cid, pos)
+       GROUP BY cid),
+d1 AS (SELECT e.vec_id, c.cid,
+              round(list_sum(list_transform(list_zip(e.embedding, c.cv),
+                    p -> (p[1]::DOUBLE - p[2]) ^ 2)), 6) AS dist
+       FROM embeddings e CROSS JOIN c1 c),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rk
+         FROM d1) WHERE rk = 1)"""
+
+
+@_reg("ivf_kmeans", f"""WITH {_IVF_CTES}
+SELECT vec_id, cid FROM a1 ORDER BY vec_id""")
+def _q_ivf_kmeans(spark, sf_dir):
+    # IVF coarse quantizer: deterministic Lloyd's (lowest-id seeds,
+    # half-away rounding of centroids AND distances, lowest-cid ties) —
+    # full cluster assignment after one training iteration
+    from .operators.similarity import assign_clusters, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=8, iters=1)
+    return assign_clusters(emb, cents).orderBy("vec_id")
+
+
+@_reg("ivf_search", f"""WITH {_IVF_CTES},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probes AS (SELECT c.cid
+           FROM c1 c CROSS JOIN q
+           ORDER BY round(list_sum(list_transform(list_zip(q.qe, c.cv),
+                          p -> (p[1]::DOUBLE - p[2]) ^ 2)), 6), c.cid
+           LIMIT 2),
+pairs AS (SELECT e.vec_id,
+                 unnest(e.embedding)::DOUBLE AS x,
+                 unnest((SELECT qe FROM q))::DOUBLE AS y
+          FROM embeddings e
+          WHERE e.vec_id IN (SELECT vec_id FROM a1
+                             WHERE cid IN (SELECT cid FROM probes))),
+dots AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+         FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
+FROM dots ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 10""")
+def _q_ivf_search(spark, sf_dir):
+    # IVF-flat ANN: probe the 2 clusters nearest the query, exact cosine
+    # rerank inside them only — the inverted-file scale path next to the
+    # LSH one (ann_search)
+    from .operators.similarity import ivf_search, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=8, iters=1)
+    qvec = emb.where(F.col("vec_id") == 0) \
+        .select("embedding").collect()[0][0]
+    return ivf_search(emb, list(qvec), cents, k=10, nprobe=2)
 
 
 # ---------------------------------------------------------------------------
@@ -3477,6 +3557,7 @@ _PRIORITY: list[str] = [
     "complex_phrase", "parser_boost", "sweetspot_topk",
     "join_util", "scale_query", "context_suggest",
     "hash_sample", "mix_split", "trec_eval", "rescore_query",
+    "ivf_kmeans", "ivf_search",
 ]
 
 

@@ -20,7 +20,7 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["cosine_topk", "cosine_score_col", "srp_planes", "lsh_buckets",
-           "ann_search"]
+           "ann_search", "assign_clusters", "kmeans_fit", "ivf_search"]
 
 
 def cosine_score_col(vec_col, query: list[float]):
@@ -114,3 +114,92 @@ def ann_search(emb: DataFrame, query: list[float], k: int = 10,
                         .alias("cos"))
             .orderBy(F.desc("cos"), F.asc(id_col))
             .limit(k))
+
+
+def _round_away(x: float, digits: int = 6) -> float:
+    """Round half AWAY FROM ZERO — the SQL/Spark ``round`` convention
+    (Python's builtin round is banker's and would diverge from engines
+    on exact half-boundaries)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def assign_clusters(emb: DataFrame, centroids: list[tuple[int, list[float]]],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_digits: int = 6) -> DataFrame:
+    """(id, cid): nearest centroid by squared L2, distances rounded to
+    ``round_digits`` before the argmin and ties broken by lowest cid —
+    both choices exist so ANY engine recomputing the assignment lands on
+    the same clusters (float64 fold-order noise sits far below the
+    rounding quantum).  One narrow pass; k fused distance expressions."""
+    structs = []
+    for cid, cv in centroids:
+        carr = F.array(*[F.lit(float(v)).cast("double") for v in cv])
+        diff2 = F.zip_with(F.col(vec_col), carr,
+                           lambda x, y: (x.cast("double") - y)
+                           * (x.cast("double") - y))
+        dist = F.round(F.aggregate(diff2, F.lit(0.0),
+                                   lambda acc, v: acc + v), round_digits)
+        structs.append(F.struct(dist.alias("dist"),
+                                F.lit(int(cid)).cast("long").alias("cid")))
+    best = F.array_min(F.array(*structs))
+    return emb.select(F.col(id_col), best["cid"].alias("cid"))
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_digits: int = 6) -> list[tuple[int, list[float]]]:
+    """IVF coarse-quantizer training: Lloyd's k-means with DETERMINISTIC
+    everything — seeds are the k lowest-id vectors (cid = seed order),
+    every centroid component rounds half-away to ``round_digits`` after
+    each mean, and assignment uses :func:`assign_clusters`' rounded
+    argmin.  The result is bit-reproducible across engines and reruns,
+    which is what lets the IVF index be rebuilt incrementally without
+    invalidating old bucket assignments.
+
+    Scale shape per iteration: one narrow assignment pass fused into ONE
+    map-side-combinable aggregate (unrolled per-dimension sums -> k rows
+    to the driver), then centroids broadcast back as literals.  A cluster
+    that goes empty keeps its previous centroid."""
+    rows = (emb.orderBy(id_col).limit(k)
+            .select(id_col, vec_col).collect())
+    cents = [(i, [_round_away(v, round_digits) for v in r[vec_col]])
+             for i, r in enumerate(rows)]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        a = assign_clusters(emb, cents, id_col, vec_col, round_digits)
+        joined = emb.select(id_col, vec_col).join(a, id_col)
+        sums = joined.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+              for i in range(dim)]).collect()
+        new = {r["cid"]: [_round_away(r[f"s{i}"] / r["n"], round_digits)
+                          for i in range(dim)] for r in sums}
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def ivf_search(emb: DataFrame, query: list[float],
+               centroids: list[tuple[int, list[float]]],
+               k: int = 10, nprobe: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_digits: int = 6) -> DataFrame:
+    """IVF-flat ANN: pick the ``nprobe`` centroids closest to the query
+    (driver-side — k distances), scan ONLY their clusters, exact cosine
+    rerank inside.  (id, cos) top-k.
+
+    This is the inverted-file counterpart of :func:`ann_search`'s LSH
+    path: the coarse quantizer prunes the corpus to ~nprobe/k of its
+    vectors before any per-candidate float work, and the cluster
+    assignment is a pushable equi-filter on a precomputed cid column when
+    the assignment is materialized alongside the vectors."""
+    qd = [
+        (_round_away(sum((float(x) - c) ** 2 for x, c in zip(query, cv)),
+                     round_digits), cid)
+        for cid, cv in centroids]
+    probes = [cid for _d, cid in sorted(qd)[:max(1, nprobe)]]
+    assign = assign_clusters(emb, centroids, id_col, vec_col, round_digits)
+    cands = emb.join(assign.where(F.col("cid").isin(probes)), id_col)
+    return cosine_topk(cands, query, k, id_col, vec_col)

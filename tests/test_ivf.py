@@ -1,0 +1,76 @@
+"""IVF ANN: deterministic k-means coarse quantizer + probe search
+(operators/similarity.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_old_spark.operators.similarity import (
+    _round_away, assign_clusters, cosine_topk, ivf_search, kmeans_fit)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # two tight clusters on opposite corners + ids interleaved so seed
+    # order is not cluster order
+    rows = []
+    for i in range(40):
+        base = 1.0 if i % 2 == 0 else -1.0
+        vec = [base + (i % 7) * 1e-3] * 4
+        rows.append((i, vec))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").persist()
+
+
+def test_round_away_matches_sql_convention():
+    assert _round_away(0.1234565, 6) == 0.123457   # half up
+    assert _round_away(-0.1234565, 6) == -0.123457  # away from zero
+    assert _round_away(1.0, 6) == 1.0
+
+
+def test_kmeans_deterministic_and_converges(spark, emb):
+    c1 = kmeans_fit(emb, k=2, iters=3)
+    c2 = kmeans_fit(emb.repartition(5), k=2, iters=3)
+    assert c1 == c2                                  # partition-independent
+    # the two centroids sit near +1 and -1 (order = seed order: vec 0 is
+    # the +1 cluster, vec 1 the -1 cluster)
+    assert c1[0][1][0] == pytest.approx(1.003, abs=2e-3)
+    assert c1[1][1][0] == pytest.approx(-0.997, abs=2e-3)
+
+
+def test_assign_clusters_separates(spark, emb):
+    cents = kmeans_fit(emb, k=2, iters=2)
+    a = {r["vec_id"]: r["cid"] for r in
+         assign_clusters(emb, cents).collect()}
+    assert all(a[i] == 0 for i in range(0, 40, 2))
+    assert all(a[i] == 1 for i in range(1, 40, 2))
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # all points identical: second seed's cluster is empty after assign
+    # (ties go to cid 0) and must keep its previous centroid
+    rows = [(i, [1.0, 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, k=2, iters=2)
+    assert cents[1][1] == [1.0, 1.0]
+
+
+def test_ivf_search_matches_bruteforce_on_probed_recall(spark, emb):
+    cents = kmeans_fit(emb, k=2, iters=2)
+    q = [1.0, 1.0, 1.0, 1.0]
+    ivf = [r["vec_id"] for r in
+           ivf_search(emb, q, cents, k=5, nprobe=1).collect()]
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    # the query lives squarely in cluster 0: probing 1 cluster already
+    # reproduces the exact brute-force top-5
+    assert ivf == brute
+
+
+def test_ivf_search_prunes_to_probed_clusters(spark, emb):
+    cents = kmeans_fit(emb, k=2, iters=2)
+    q = [1.0, 1.0, 1.0, 1.0]
+    out = ivf_search(emb, q, cents, k=40, nprobe=1).collect()
+    # nprobe=1 scans only the +1 cluster: half the corpus
+    assert len(out) == 20
+    assert all(r["vec_id"] % 2 == 0 for r in out)
