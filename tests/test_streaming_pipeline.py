@@ -139,3 +139,29 @@ def test_near_dedup_stream_across_batches(spark, tmp_path):
         by_key2[r.key] = by_key2.get(r.key, 0) + 1
     assert by_key2.get("u4", 0) == 0
     assert by_key2.get("u5", 0) == 4
+
+
+def test_cleaning_stack_composes_with_streams(spark, tmp_path):
+    # the corpus-cleaning passes are narrow Catalyst transforms, so they
+    # run unchanged inside Structured Streaming (the streaming ingest
+    # shape: readStream -> pii_scrub -> c4 -> gopher -> sink)
+    from lucene_solr_old_spark.operators.cleaning import (
+        c4_line_filter, gopher_quality_filter, pii_scrub)
+
+    src_dir = str(tmp_path / "in_clean")
+    good = " ".join(["the quick brown fox and that dog have fun with it"] * 6)
+    rows = [("u1", f"Mail bob@x.com now.\n{good}.\nShort."),
+            ("u2", "tiny.")]
+    _write_batch(spark, src_dir, rows, "url STRING, text STRING")
+    stream = (spark.readStream.schema("url STRING, text STRING")
+              .parquet(src_dir))
+    p = pii_scrub(stream, key_col="url") \
+        .select("url", F.col("text_clean").alias("text"))
+    c4 = c4_line_filter(p, key_col="url", min_lines=1) \
+        .select("url", F.col("text_clean").alias("text"))
+    g = gopher_quality_filter(c4, key_col="url", min_words=10)
+    _run(g, "cleaned")
+    got = {r["url"]: r for r in spark.sql("SELECT * FROM cleaned").collect()}
+    assert set(got) == {"u1", "u2"}
+    assert got["u1"]["keep"] is True
+    assert got["u2"]["keep"] is False
