@@ -3505,6 +3505,66 @@ def _q_ivf_search(spark, sf_dir):
     return ivf_search(emb, list(qvec), cents, k=10, nprobe=2)
 
 
+# ---- English Snowball (Porter2) -------------------------------------------
+
+def _snowball_sql() -> str:
+    from .functions.porter2 import porter2_stem
+
+    vocab = _CORPUS_VOCAB + ["merging"]
+    smap = ",".join(f"('{w}','{porter2_stem(w)}')" for w in vocab)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 6 = 0
+                                       THEN ' merging' ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+smap(w, stem) AS (VALUES {smap}),
+tok AS (SELECT raw.doc_id, smap.stem AS term
+        FROM raw JOIN smap ON smap.w = raw.term
+        WHERE raw.term NOT IN ({_STOP_SQL})),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    terms = [porter2_stem(w) for w in ["tables", "merging"]]
+    return f"""WITH {prelude}, {_scored_cte(terms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("snowball_search", _snowball_sql())
+def _q_snowball(spark, sf_dir):
+    # SnowballAnalyzer("English"): standard -> lower -> stop -> Porter2
+    # (bit-exact on ALL 29,417 reference vocabulary pairs); every 6th doc
+    # gains "merging", and the query's inflections ("tables merging")
+    # conflate with the corpus forms (table -> tabl, merge/merging ->
+    # merg) through the stemmer
+    cache_key = (id(spark), f"{sf_dir}::snowball")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 6 == 0, F.lit(" merging"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="english_snowball").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "tables merging",
+                    k=40, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3557,7 +3617,7 @@ _PRIORITY: list[str] = [
     "complex_phrase", "parser_boost", "sweetspot_topk",
     "join_util", "scale_query", "context_suggest",
     "hash_sample", "mix_split", "trec_eval", "rescore_query",
-    "ivf_kmeans", "ivf_search",
+    "ivf_kmeans", "ivf_search", "snowball_search",
 ]
 
 
