@@ -72,3 +72,66 @@ def test_analyzer_chains(spark):
     assert [t.term for t in
             get_analyzer("norwegian_snowball")("og bøkene leses")] \
         == ["bøk", "les"]
+
+
+# ---- Dutch / Russian / Spanish / Italian / Portuguese ----------------------
+# (same provenance: verbatim reference vocab pairs; full files 45,669 /
+# 49,673 / 28,390 / 35,494 / 32,016 pairs, 0 mismatches in development)
+
+from lucene_solr_old_spark.functions.snowball_es import (  # noqa: E402
+    spanish_snowball_stem)
+from lucene_solr_old_spark.functions.snowball_it import (  # noqa: E402
+    italian_snowball_stem)
+from lucene_solr_old_spark.functions.snowball_nl import (  # noqa: E402
+    dutch_snowball_stem)
+from lucene_solr_old_spark.functions.snowball_pt import (  # noqa: E402
+    portuguese_snowball_stem)
+from lucene_solr_old_spark.functions.snowball_ru import (  # noqa: E402
+    russian_snowball_stem)
+
+MORE_GOLDEN = [
+    (dutch_snowball_stem, "aannemers", "aannemer"),
+    (dutch_snowball_stem, "bekkens", "bekken"),
+    (dutch_snowball_stem, "zuurstofrijke", "zuurstofrijk"),
+    (dutch_snowball_stem, "lichamelijk", "licham"),
+    (russian_snowball_stem, "анатомии", "анатом"),
+    (russian_snowball_stem, "брить", "брит"),
+    (russian_snowball_stem, "дозволение", "дозволен"),
+    (russian_snowball_stem, "языку", "язык"),
+    (spanish_snowball_stem, "acarrear", "acarr"),
+    (spanish_snowball_stem, "destruye", "destru"),
+    (spanish_snowball_stem, "esperaremos", "esper"),
+    (spanish_snowball_stem, "canciones", "cancion"),
+    (italian_snowball_stem, "accarezza", "accarezz"),
+    (italian_snowball_stem, "pagherà", "pagh"),
+    (italian_snowball_stem, "buchi", "buch"),       # ch outside RV kept
+    (portuguese_snowball_stem, "acabavam", "acab"),
+    (portuguese_snowball_stem, "aproximações", "aproxim"),
+    (portuguese_snowball_stem, "revolução", "revoluçã"),  # old-rev quirk
+]
+
+
+@pytest.mark.parametrize("fn,word,expect", MORE_GOLDEN)
+def test_more_snowball_golden(fn, word, expect):
+    assert fn(word) == expect
+
+
+def test_romance_and_slavic_chains(spark):
+    import lucene_solr_old_spark.functions.lang  # noqa: F401
+    from lucene_solr_old_spark.functions.tokenizer import get_analyzer
+
+    assert [t.term for t in
+            get_analyzer("spanish_snowball")("las canciones esperaremos")] \
+        == ["cancion", "esper"]
+    assert [t.term for t in
+            get_analyzer("italian_snowball")("dell'abbandono pagherà")] \
+        == ["abband", "pagh"]
+    assert [t.term for t in
+            get_analyzer("portuguese_snowball")("as revoluções esperadas")] \
+        == ["revoluçõ", "esper"]
+    assert [t.term for t in
+            get_analyzer("dutch")("de kinderen lichamelijk fiets")] \
+        == ["kinder", "licham", "fiets"]
+    assert [t.term for t in
+            get_analyzer("russian_snowball")("и книги читаются")] \
+        == ["книг", "чита"]
