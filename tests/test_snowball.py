@@ -135,3 +135,35 @@ def test_romance_and_slavic_chains(spark):
     assert [t.term for t in
             get_analyzer("russian_snowball")("и книги читаются")] \
         == ["книг", "чита"]
+
+
+# ---- German / German2 ------------------------------------------------------
+# (full files: 35,033 pairs each, 0 mismatches in development)
+
+from lucene_solr_old_spark.functions.snowball_de import (  # noqa: E402
+    german2_snowball_stem, german_snowball_stem)
+
+GERMAN_GOLDEN = [
+    ("aufeinander", "aufeinand"), ("kategorie", "kategori"),
+    ("bedürfnisse", "bedurfniss"),          # no late-revision nis fix
+    ("ausgezeichnet", "ausgezeichnet"), ("häuser", "haus"),
+    ("unentbehrlichkeit", "unentbehr"),     # keit + lich chain
+]
+
+GERMAN2_GOLDEN = [
+    ("aktuell", "aktull"),                  # ue -> ü -> u
+    ("aeternitatis", "aternitatis"),        # ae fold
+    ("quae", "quae"),                       # qu protects two chars
+    ("abgehauen", "abgehau"),               # intervocalic u marked first
+    ("bequemer", "bequem"),
+]
+
+
+@pytest.mark.parametrize("word,expect", GERMAN_GOLDEN)
+def test_german_snowball_golden(word, expect):
+    assert german_snowball_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", GERMAN2_GOLDEN)
+def test_german2_snowball_golden(word, expect):
+    assert german2_snowball_stem(word) == expect
