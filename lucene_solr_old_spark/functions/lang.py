@@ -1951,6 +1951,58 @@ def german_snowball_analyze(text: str) -> list[Token]:
     return out
 
 
+ROMANIAN_STOP_WORDS = frozenset("""
+acea aceasta această aceea acei aceia acel acela acele acelea acest
+acesta aceste acestea aceşti aceştia acolo acum ai aia aibă aici al
+ale alea altceva altcineva am ar are asemenea asta astea astăzi asupra
+au avea avem aveţi azi aş aşadar aţi bine bucur bună ca care ce cel
+ceva chiar cine cineva contra cu cum cumva curând curînd când cât câte
+câtva câţi cînd cît cîte cîtva cîţi că căci cărei căror cărui către da
+dacă dar datorită de deci deja deoarece departe deşi din dinaintea
+dintr dintre drept după dă ea ei el ele eram este eu eşti face fi fie
+fiecare fii fim fiţi fără iar ieri la le li lor lui lângă lîngă mea
+mei mele mereu meu mi mine mult multă mulţi mâine mă ne nici nicăieri
+nimeni nişte noastre noastră noi nostru noştri nu ori oricare orice
+oricine oricum oricând oricât oricînd oricît oriunde pe pentru peste
+poate pot prea prima primul prin printr până pînă sa sale sau se spre
+sub sunt suntem sunteţi sînt sîntem sînteţi să săi său ta tale te tine
+toate toată tot totuşi toţi tu tăi tău un una unde undeva unei unele
+uneori unor vi voastre voastră voi vostru vouă voştri vreo vreun vă îi
+îl îmi împotriva în înainte înaintea încotro încât încît între
+întrucât întrucît îţi ăla ălea ăsta ăstea ăştia şi ţi ţie
+""".split())
+
+
+def romanian_analyze(text: str) -> list[Token]:
+    """RomanianAnalyzer: Standard -> LowerCase -> Stop(romanian) ->
+    Romanian Snowball (bit-exact on all 22,570 reference vocabulary
+    pairs, cedilla forms)."""
+    from .snowball_ro import romanian_snowball_stem
+
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in ROMANIAN_STOP_WORDS:
+            continue
+        out.append(Token(romanian_snowball_stem(t), pos, start, end))
+    return out
+
+
+def french_snowball_analyze(text: str) -> list[Token]:
+    """FrenchAnalyzer's SnowballFilter path (pre-3.1 default): Standard
+    -> Elision -> LowerCase -> Stop(french) -> French Snowball
+    (bit-exact on all 20,403 reference vocabulary pairs)."""
+    from .snowball_fr import french_snowball_stem
+
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = elide(term, FRENCH_ARTICLES).lower()
+        if not t or t in FRENCH_STOP_WORDS:
+            continue
+        out.append(Token(french_snowball_stem(t), pos, start, end))
+    return out
+
+
 def _register():
     from .tokenizer import register_analyzer
 
@@ -1982,6 +2034,8 @@ def _register():
     register_analyzer("italian_snowball", italian_snowball_analyze)
     register_analyzer("portuguese_snowball", portuguese_snowball_analyze)
     register_analyzer("german_snowball", german_snowball_analyze)
+    register_analyzer("romanian", romanian_analyze)
+    register_analyzer("french_snowball", french_snowball_analyze)
 
 
 _register()

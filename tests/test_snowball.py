@@ -167,3 +167,37 @@ def test_german_snowball_golden(word, expect):
 @pytest.mark.parametrize("word,expect", GERMAN2_GOLDEN)
 def test_german2_snowball_golden(word, expect):
     assert german2_snowball_stem(word) == expect
+
+
+# ---- French / Romanian -----------------------------------------------------
+# (full files: 20,403 / 22,570 pairs, 0 mismatches in development)
+
+from lucene_solr_old_spark.functions.snowball_fr import (  # noqa: E402
+    french_snowball_stem)
+from lucene_solr_old_spark.functions.snowball_ro import (  # noqa: E402
+    romanian_snowball_stem)
+
+FRENCH_GOLDEN = [
+    ("accepteriez", "accept"), ("automne", "automn"),
+    ("énergumène", "énergumen"),            # step-6 un-accent
+    ("voyageons", "voyageon"),              # Y marking survives round-trip
+    ("majestueuse", "majestu"),
+    ("continuelle", "continuel"),           # step-5 undouble
+]
+
+ROMANIAN_GOLDEN = [
+    ("acomodare", "acomod"), ("autoritatea", "autor"),
+    ("faptă", "fapt"), ("zise", "zis"),
+    ("anglie", "anglie"),                   # 'ie' blocks RV-failing delete
+    ("abilităţi", "abil"),
+]
+
+
+@pytest.mark.parametrize("word,expect", FRENCH_GOLDEN)
+def test_french_snowball_golden(word, expect):
+    assert french_snowball_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", ROMANIAN_GOLDEN)
+def test_romanian_snowball_golden(word, expect):
+    assert romanian_snowball_stem(word) == expect
