@@ -2003,6 +2003,36 @@ def french_snowball_analyze(text: str) -> list[Token]:
     return out
 
 
+def finnish_snowball_analyze(text: str) -> list[Token]:
+    """FinnishAnalyzer (default path): Standard -> LowerCase ->
+    Stop(finnish) -> Finnish Snowball (bit-exact on all 50,000 reference
+    vocabulary pairs)."""
+    from .snowball_fi import finnish_snowball_stem
+
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in FINNISH_STOP_WORDS:
+            continue
+        out.append(Token(finnish_snowball_stem(t), pos, start, end))
+    return out
+
+
+def hungarian_snowball_analyze(text: str) -> list[Token]:
+    """HungarianAnalyzer (default path): Standard -> LowerCase ->
+    Stop(hungarian) -> Hungarian Snowball (bit-exact on all 30,000
+    reference vocabulary pairs)."""
+    from .snowball_hu import hungarian_snowball_stem
+
+    out: list[Token] = []
+    for term, pos, start, end in standard_tokenize(text):
+        t = term.lower()
+        if t in HUNGARIAN_STOP_WORDS:
+            continue
+        out.append(Token(hungarian_snowball_stem(t), pos, start, end))
+    return out
+
+
 def _register():
     from .tokenizer import register_analyzer
 
@@ -2036,6 +2066,8 @@ def _register():
     register_analyzer("german_snowball", german_snowball_analyze)
     register_analyzer("romanian", romanian_analyze)
     register_analyzer("french_snowball", french_snowball_analyze)
+    register_analyzer("finnish_snowball", finnish_snowball_analyze)
+    register_analyzer("hungarian_snowball", hungarian_snowball_analyze)
 
 
 _register()

@@ -201,3 +201,38 @@ def test_french_snowball_golden(word, expect):
 @pytest.mark.parametrize("word,expect", ROMANIAN_GOLDEN)
 def test_romanian_snowball_golden(word, expect):
     assert romanian_snowball_stem(word) == expect
+
+
+# ---- Finnish / Hungarian ---------------------------------------------------
+# (full files: 50,000 / 30,000 pairs, 0 mismatches in development)
+
+from lucene_solr_old_spark.functions.snowball_fi import (  # noqa: E402
+    finnish_snowball_stem)
+from lucene_solr_old_spark.functions.snowball_hu import (  # noqa: E402
+    hungarian_snowball_stem)
+
+FINNISH_GOLDEN = [
+    ("aamukahvit", "aamukahv"), ("akvaariorakkautta", "akvaariorakkaut"),
+    ("asetoimituksilla", "asetoimituks"),
+    ("intimiteettisuoja", "intimiteettisuo"),
+    ("aakkosjärjestykseen", "aakkosjärjestyks"),  # seen->n fallback + ee
+    ("aavalla", "aava"),                # cX tidy needs both chars in R1
+]
+
+HUNGARIAN_GOLDEN = [
+    ("adaptálása", "adaptálás"), ("beengedett", "beengedet"),
+    ("kezeltek", "kezelt"), ("negatívokat", "negatív"),
+    ("bot", "bot"),                     # 'ot' matched first, blocks 't'
+    ("bottal", "bot"),                  # instrum al + tt undouble
+    ("baki", "bak"),
+]
+
+
+@pytest.mark.parametrize("word,expect", FINNISH_GOLDEN)
+def test_finnish_snowball_golden(word, expect):
+    assert finnish_snowball_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", HUNGARIAN_GOLDEN)
+def test_hungarian_snowball_golden(word, expect):
+    assert hungarian_snowball_stem(word) == expect
