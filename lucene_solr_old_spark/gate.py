@@ -3565,6 +3565,67 @@ def _q_snowball(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+# ---- Turkish Snowball chain ----------------------------------------------
+
+def _turkish_sql() -> str:
+    from .functions.lang import TURKISH_STOP_WORDS
+    from .functions.snowball_tr import turkish_snowball_stem
+
+    tr_stop = ",".join(f"'{w}'" for w in sorted(TURKISH_STOP_WORDS))
+    vocab = _CORPUS_VOCAB + ["kitapları"]
+    tmap = ",".join(f"('{w}','{turkish_snowball_stem(w)}')" for w in vocab)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 4 = 0
+                                       THEN ' kitapları' ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+tmap(w, stem) AS (VALUES {tmap}),
+tok AS (SELECT raw.doc_id, tmap.stem AS term
+        FROM raw JOIN tmap ON tmap.w = raw.term
+        WHERE raw.term NOT IN ({tr_stop})),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    terms = [turkish_snowball_stem(w) for w in ["kitap", "merge"]]
+    return f"""WITH {prelude}, {_scored_cte(terms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("turkish_search", _turkish_sql())
+def _q_turkish(spark, sf_dir):
+    # TurkishAnalyzer: standard -> dotted/dotless-i lowercase ->
+    # stop(turkish) -> Turkish Snowball (96,325 vocab pairs bit-exact);
+    # every 4th doc gains "kitapları", which conflates with the query
+    # "kitap" through the lArI strip
+    cache_key = (id(spark), f"{sf_dir}::turkish")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 4 == 0, F.lit(" kitapları"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="turkish").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "kitap merge",
+                    k=40, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3617,7 +3678,7 @@ _PRIORITY: list[str] = [
     "complex_phrase", "parser_boost", "sweetspot_topk",
     "join_util", "scale_query", "context_suggest",
     "hash_sample", "mix_split", "trec_eval", "rescore_query",
-    "ivf_kmeans", "ivf_search", "snowball_search",
+    "ivf_kmeans", "ivf_search", "snowball_search", "turkish_search",
 ]
 
 
