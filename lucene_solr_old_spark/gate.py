@@ -3626,6 +3626,64 @@ def _q_turkish(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+# ---- CJK bigram chain -----------------------------------------------------
+
+def _cjk_sql() -> str:
+    from .functions.cjk import CJK_STOP_WORDS
+
+    cjk_stop = ",".join(f"'{w}'" for w in sorted(CJK_STOP_WORDS))
+    # injected phrase 数据处理系统 -> 5 overlapping bigrams
+    bigrams = ",".join(f"('{b}')" for b in
+                       ("数据", "据处", "处理", "理系", "系统"))
+    prelude = f"""
+entok AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents)),
+cjktok AS (SELECT d.doc_id, b.term
+           FROM documents d CROSS JOIN (VALUES {bigrams}) b(term)
+           WHERE d.doc_id % 3 = 0),
+tok AS (SELECT doc_id, term FROM entok
+        WHERE term NOT IN ({cjk_stop})
+        UNION ALL SELECT doc_id, term FROM cjktok),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    return f"""WITH {prelude}, {_scored_cte(["数据", "data"])}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("cjk_search", _cjk_sql())
+def _q_cjk(spark, sf_dir):
+    # CJKAnalyzer: width fold -> lowercase -> CJK bigrams -> stop; every
+    # 3rd doc gains 数据处理系统 and the query bigram 数据 finds them
+    cache_key = (id(spark), f"{sf_dir}::cjk")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" 数据处理系统"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="cjk").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "数据 data",
+                    k=40, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3679,6 +3737,7 @@ _PRIORITY: list[str] = [
     "join_util", "scale_query", "context_suggest",
     "hash_sample", "mix_split", "trec_eval", "rescore_query",
     "ivf_kmeans", "ivf_search", "snowball_search", "turkish_search",
+    "cjk_search",
 ]
 
 
