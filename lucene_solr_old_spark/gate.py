@@ -3684,6 +3684,44 @@ def _q_cjk(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+@_reg("path_facet", """
+WITH p AS (
+  SELECT doc_id,
+         concat('/', source) AS l1,
+         concat('/', source, '/', lang) AS l2,
+         concat('/', source, '/', lang, '/doc',
+                (doc_id % 10)::VARCHAR) AS l3
+  FROM documents),
+pref AS (
+  SELECT l1 AS prefix FROM p
+  UNION ALL SELECT l2 FROM p
+  UNION ALL SELECT l3 FROM p)
+SELECT prefix, count(*)::BIGINT AS cnt
+FROM pref GROUP BY prefix
+ORDER BY prefix""")
+def _q_path_facet(spark, sf_dir):
+    # PathHierarchyTokenizer faceting: every ancestor prefix counts the
+    # docs beneath it (the classic drill-down-on-paths use); tokenizer
+    # runs in Arrow batches, counting is one map-side-combinable groupBy
+    from .functions.tokenizers2 import path_hierarchy_tokenize
+
+    def part(batches):
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id, src, lang in zip(b["doc_id"], b["source"],
+                                         b["lang"]):
+                path = f"/{src}/{lang}/doc{doc_id % 10}"
+                for t in path_hierarchy_tokenize(path):
+                    rows.append((doc_id, t.term))
+            yield pd.DataFrame(rows, columns=["doc_id", "prefix"])
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    prefixes = docs.mapInPandas(part, "doc_id long, prefix string")
+    return (prefixes.groupBy("prefix").agg(F.count("*").alias("cnt"))
+            .orderBy("prefix"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3737,7 +3775,7 @@ _PRIORITY: list[str] = [
     "join_util", "scale_query", "context_suggest",
     "hash_sample", "mix_split", "trec_eval", "rescore_query",
     "ivf_kmeans", "ivf_search", "snowball_search", "turkish_search",
-    "cjk_search",
+    "cjk_search", "path_facet",
 ]
 
 
