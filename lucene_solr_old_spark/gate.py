@@ -3722,6 +3722,70 @@ def _q_path_facet(spark, sf_dir):
             .orderBy("prefix"))
 
 
+# ---- phonetic search ------------------------------------------------------
+
+def _soundex_sql() -> str:
+    from .functions.phonetic import soundex
+
+    vocab = _CORPUS_VOCAB + ["smith", "smyth"]
+    rows = []
+    for w in vocab:
+        rows.append((w, w))
+        code = soundex(w)
+        if code != w:
+            rows.append((w, code))
+    smap = ",".join(f"('{a}','{b}')" for a, b in rows)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 5 = 0 THEN ' smith'
+                                       WHEN doc_id % 5 = 1 THEN ' smyth'
+                                       ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+smap(w, unit) AS (VALUES {smap}),
+tok AS (SELECT raw.doc_id, smap.unit AS term
+        FROM raw JOIN smap ON smap.w = raw.term),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    terms = ["smith", soundex("smith")]
+    return f"""WITH {prelude}, {_scored_cte(terms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("soundex_search", _soundex_sql())
+def _q_soundex(spark, sf_dir):
+    # PhoneticFilter(Soundex, inject=true): docs spelled 'smyth' match
+    # the query 'smith' through the shared S530 sound code
+    cache_key = (id(spark), f"{sf_dir}::soundex")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" smith"))
+                .when(F.col("doc_id") % 5 == 1, F.lit(" smyth"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="ws_soundex").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "smith",
+                    k=40, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3775,7 +3839,7 @@ _PRIORITY: list[str] = [
     "join_util", "scale_query", "context_suggest",
     "hash_sample", "mix_split", "trec_eval", "rescore_query",
     "ivf_kmeans", "ivf_search", "snowball_search", "turkish_search",
-    "cjk_search", "path_facet",
+    "cjk_search", "path_facet", "soundex_search",
 ]
 
 
