@@ -14,7 +14,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-__all__ = ["HunspellDictionary", "hunspell_stem"]
+__all__ = ["HunspellDictionary", "hunspell_stem",
+           "make_hunspell_analyzer"]
 
 _RECURSION_CAP = 2
 
@@ -131,3 +132,35 @@ def hunspell_stem(d: HunspellDictionary, word: str) -> list[str]:
         out.append(w)
     out.extend(_stem_level(d, w, None, 0))
     return out
+
+
+def make_hunspell_analyzer(dictionary: HunspellDictionary,
+                           dedup: bool = True, longest_only: bool = False):
+    """Build an analyzer chain callable (``text -> list[Token]``) around
+    a Hunspell dictionary — the ``HunspellStemFilter`` shape: every stem
+    of a token is emitted STACKED at the token's position (posInc 0 for
+    the extras), unknown words pass through unchanged; ``longest_only``
+    keeps only the longest stem (the filter's ``longestOnly`` flag).
+    Register with ``register_analyzer`` — the closure (dictionary
+    included) is cloudpickled to executors."""
+    from .tokenizer import Token, standard_tokenize
+
+    def analyze(text: str) -> list[Token]:
+        out: list[Token] = []
+        for t in standard_tokenize(text):
+            term = t.term.lower() if dictionary.ignore_case else t.term
+            stems = hunspell_stem(dictionary, term)
+            if not stems:
+                out.append(Token(term, t.pos, t.start, t.end))
+                continue
+            if longest_only:
+                stems = [max(stems, key=len)]
+            elif dedup:
+                seen: set[str] = set()
+                stems = [s for s in stems
+                         if not (s in seen or seen.add(s))]
+            for s in stems:
+                out.append(Token(s, t.pos, t.start, t.end))
+        return out
+
+    return analyze

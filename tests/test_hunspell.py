@@ -90,3 +90,15 @@ def test_hunspell_case_sensitive(dic_exact, word, expect):
 def test_recursion_cap_stops_infinite_chains(dic_ignore):
     # the /C continuation on 'd' recurses at most twice
     assert hunspell_stem(dic_ignore, "abcdd") == []
+
+
+def test_make_hunspell_analyzer_stacks_stems(dic_ignore):
+    from lucene_solr_old_spark.functions.hunspell import (
+        make_hunspell_analyzer)
+
+    a = make_hunspell_analyzer(dic_ignore)
+    assert [(t.term, t.pos) for t in a("lucene is awesome")] == [
+        ("lucene", 0), ("lucen", 0), ("is", 1), ("awesome", 2)]
+    a2 = make_hunspell_analyzer(dic_ignore, longest_only=True)
+    assert [t.term for t in a2("lucene is awesome")] == [
+        "lucene", "is", "awesome"]
