@@ -40,7 +40,8 @@ __all__ = ["ascii_fold", "fold_text", "word_delimiter", "shingle",
            "char_ngram_tokens", "keyword_marked_stem", "common_grams",
            "length_filter", "trim_filter", "truncate_filter",
            "reverse_filter", "capitalization_filter", "remove_duplicates",
-           "limit_token_count", "pattern_replace", "fingerprint_filter"]
+           "limit_token_count", "pattern_replace", "fingerprint_filter",
+           "icu_fold"]
 
 
 # ---------------------------------------------------------------------------
@@ -512,3 +513,17 @@ def fingerprint_filter(tokens: list[Token], separator: str = " ",
         return []
     return [Token(fp, 0, min(t.start for t in tokens),
                   max(t.end for t in tokens))]
+
+
+def icu_fold(text: str) -> str:
+    """ICUFoldingFilter approximation (``analysis/icu/.../
+    ICUFoldingFilter.java`` wraps ICU4J's foldCase+NFKC): NFKC
+    normalization, Unicode case folding, and combining-mark removal.
+    A documented approximation — ICU's custom folding tables cover a few
+    extra compatibility mappings this three-step pipeline misses."""
+    import unicodedata
+
+    t = unicodedata.normalize("NFKC", text).casefold()
+    t = unicodedata.normalize("NFD", t)
+    t = "".join(ch for ch in t if not unicodedata.combining(ch))
+    return unicodedata.normalize("NFC", t)

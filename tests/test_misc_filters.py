@@ -117,3 +117,12 @@ def test_blended_infix_linear_and_reciprocal(spark):
                                 blender="reciprocal").collect()
     got_r = {r["surface"]: r["blended_weight"] for r in rec}
     assert got_r["alpha beta star"] == round(10 / 3, 6)
+
+
+def test_icu_fold():
+    from lucene_solr_old_spark.functions.filters import icu_fold
+
+    assert icu_fold("Ｗｅｉß Straße") == "weiss strasse"
+    assert icu_fold("ÅNGSTRÖM ﬁn") == "angstrom fin"
+    assert icu_fold("Ελλάς") == "ελλασ"   # case-folded final sigma, accent off
+    assert icu_fold("plain") == "plain"
