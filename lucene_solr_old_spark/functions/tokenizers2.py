@@ -26,6 +26,7 @@ from .tokenizer import Token, standard_tokenize
 
 __all__ = ["keyword_tokenize", "pattern_tokenize",
            "path_hierarchy_tokenize", "uax_url_email_tokenize",
+           "ngram_tokenize", "edge_ngram_tokenize",
            "URL_RE", "EMAIL_RE"]
 
 
@@ -121,4 +122,38 @@ def uax_url_email_tokenize(text: str) -> list[Token]:
         out.append(Token(m.group(0), pos, m.start(), m.end()))
         last = m.end()
     pos = _standard(text[last:], last, pos)
+    return out
+
+
+def ngram_tokenize(text: str, min_gram: int = 1,
+                   max_gram: int = 2) -> list[Token]:
+    """``ngram/NGramTokenizer.java`` (4.4+ semantics): every character
+    n-gram for n in [min_gram, max_gram], ordered by start offset then
+    gram length, one position each."""
+    out: list[Token] = []
+    pos = -1
+    n = len(text)
+    for i in range(n):
+        for g in range(min_gram, max_gram + 1):
+            if i + g > n:
+                break
+            pos += 1
+            out.append(Token(text[i: i + g], pos, i, i + g))
+    return out
+
+
+def edge_ngram_tokenize(text: str, min_gram: int = 1,
+                        max_gram: int = 1,
+                        back: bool = False) -> list[Token]:
+    """``ngram/EdgeNGramTokenizer.java``: front (or back, the deprecated
+    ``side=back``) edge grams of the WHOLE input, one position each."""
+    out: list[Token] = []
+    n = len(text)
+    pos = -1
+    for g in range(min_gram, min(max_gram, n) + 1):
+        pos += 1
+        if back:
+            out.append(Token(text[n - g:], pos, n - g, n))
+        else:
+            out.append(Token(text[:g], pos, 0, g))
     return out

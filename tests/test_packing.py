@@ -1,0 +1,69 @@
+"""Sequence packing (operators/packing.py) and the n-gram tokenizer
+range variants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucene_solr_old_spark.functions.tokenizers2 import (
+    edge_ngram_tokenize, ngram_tokenize)
+from lucene_solr_old_spark.operators.packing import pack_sequences
+
+
+def test_ngram_tokenize_range():
+    assert [t.term for t in ngram_tokenize("abcd", 1, 2)] == [
+        "a", "ab", "b", "bc", "c", "cd", "d"]
+    assert [t.pos for t in ngram_tokenize("ab", 1, 2)] == [0, 1, 2]
+
+
+def test_edge_ngram_tokenize_front_and_back():
+    assert [t.term for t in edge_ngram_tokenize("abcd", 1, 3)] == [
+        "a", "ab", "abc"]
+    assert [t.term for t in edge_ngram_tokenize("abcd", 1, 3, back=True)] \
+        == ["d", "cd", "bcd"]
+    assert [t.term for t in edge_ngram_tokenize("ab", 1, 5)] == ["a", "ab"]
+
+
+def _mkdocs(spark, sizes):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_respects_budget(spark):
+    docs = _mkdocs(spark, [40, 40, 40, 30, 30, 20])
+    packs = pack_sequences(docs, max_tokens=100,
+                           num_partitions=1).collect()
+    assert sum(p["n_docs"] for p in packs) == 6
+    assert all(p["total_tokens"] <= 100 for p in packs)
+    assert not any(p["oversize"] for p in packs)
+    # greedy on key order: [40,40]+... never exceeds, and utilization is
+    # reported through total_tokens
+    all_ids = sorted(d for p in packs for d in p["doc_ids"])
+    assert all_ids == [str(i) for i in range(6)]
+
+
+def test_pack_oversize_doc_is_flagged_alone(spark):
+    docs = _mkdocs(spark, [10, 500, 10])
+    packs = {tuple(p["doc_ids"]): p
+             for p in pack_sequences(docs, max_tokens=100,
+                                     num_partitions=1).collect()}
+    big = [p for p in packs.values() if p["oversize"]]
+    assert len(big) == 1 and big[0]["doc_ids"] == ["1"]
+    assert big[0]["total_tokens"] == 500
+
+
+def test_pack_deterministic_across_partitionings(spark):
+    docs = _mkdocs(spark, [30, 70, 20, 80, 50, 50, 10])
+    a = sorted(tuple(p["doc_ids"]) for p in
+               pack_sequences(docs, 100, num_partitions=4).collect())
+    b = sorted(tuple(p["doc_ids"]) for p in
+               pack_sequences(docs.repartition(3), 100,
+                              num_partitions=4).collect())
+    assert a == b
+
+
+def test_pack_single_exchange_plan(spark):
+    docs = _mkdocs(spark, [10, 20])
+    plan = pack_sequences(docs, 100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
