@@ -3786,6 +3786,71 @@ def _q_soundex(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+# ---- multi-language ID ----------------------------------------------------
+
+def _langid_multi_sql() -> str:
+    from .functions.lang import (FRENCH_STOP_WORDS, GERMAN_STOP_WORDS,
+                                 SPANISH_STOP_WORDS)
+
+    def short(words, n=25):
+        return sorted(words, key=lambda w: (len(w), w))[:n]
+
+    profiles = {"de": short(GERMAN_STOP_WORDS),
+                "en": short(ENGLISH_STOP_WORDS),
+                "es": short(SPANISH_STOP_WORDS),
+                "fr": short(FRENCH_STOP_WORDS)}
+    lang_rows = ",".join(
+        f"('{lang}', [{', '.join(repr(w) for w in sorted(ws))}])"
+        for lang, ws in sorted(profiles.items()))
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         list_filter(string_split(
+             lower(text) || CASE
+               WHEN doc_id % 7 = 1 THEN ' le chat et le chien'
+               WHEN doc_id % 7 = 2 THEN ' der hund und die katze'
+               WHEN doc_id % 7 = 3 THEN ' el gato y el perro'
+               ELSE '' END, ' '), x -> x <> '') AS toks
+  FROM documents),
+p(lang, markers) AS (VALUES {lang_rows}),
+scored AS (
+  SELECT u.doc_id, p.lang,
+         CASE WHEN len(u.toks) > 0 THEN
+           round(len(list_filter(u.toks,
+                 x -> list_contains(p.markers, x)))::DOUBLE
+                 / len(u.toks), 6)
+         ELSE 0.0 END AS score
+  FROM u CROSS JOIN p),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rk
+  FROM scored)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred,
+       score
+FROM best WHERE rk = 1
+ORDER BY doc_id"""
+
+
+@_reg("langid_multi", _langid_multi_sql())
+def _q_langid_multi(spark, sf_dir):
+    # stopword-profile language ID over de/en/es/fr: injected phrases
+    # flip the prediction; argmax ties break to the first language
+    from .operators.textstats import langid_profile
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 1, F.lit(" le chat et le chien"))
+            .when(d % 7 == 2, F.lit(" der hund und die katze"))
+            .when(d % 7 == 3, F.lit(" el gato y el perro"))
+            .otherwise(F.lit(""))).alias("text"))
+    return langid_profile(docs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3839,7 +3904,7 @@ _PRIORITY: list[str] = [
     "join_util", "scale_query", "context_suggest",
     "hash_sample", "mix_split", "trec_eval", "rescore_query",
     "ivf_kmeans", "ivf_search", "snowball_search", "turkish_search",
-    "cjk_search", "path_facet", "soundex_search",
+    "cjk_search", "path_facet", "soundex_search", "langid_multi",
 ]
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.stopwords import ENGLISH_STOP_WORDS
 
 __all__ = ["token_counts", "langid_en", "quality_score", "doc_fingerprint",
-           "repetition_stats", "normalize_url"]
+           "repetition_stats", "normalize_url", "langid_profile"]
 
 def _stop_arr():
     # built lazily: Column literals need an active SparkContext
@@ -167,3 +167,63 @@ def normalize_url(docs: DataFrame, url_col: str = "url",
         F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"),
                                                             canon_q)))
     return docs.withColumn(out_col, out)
+
+
+def langid_profile(docs: DataFrame, key_col: str = "doc_id",
+                   text_col: str = "text",
+                   profiles: dict[str, list[str]] | None = None,
+                   n_markers: int = 25) -> DataFrame:
+    """(key, pred, score): multi-language ID by stopword-profile match —
+    for each candidate language, the fraction of the doc's tokens that
+    are that language's most characteristic function words; prediction =
+    argmax (ties break to the alphabetically first language, 'und' when
+    nothing matches).  The default profiles reuse the engine's own
+    snowball stop sets, taking the ``n_markers`` SHORTEST words (length
+    then lexicographic — function words are short, so this yields
+    le/la/et/der/die/the/el/... rather than an alphabetic-prefix
+    accident).
+
+    Pure per-row Catalyst (one array_intersect per language): zero
+    shuffles, linear in languages x tokens."""
+    if profiles is None:
+        from ..functions.lang import (FRENCH_STOP_WORDS,
+                                      GERMAN_STOP_WORDS,
+                                      SPANISH_STOP_WORDS)
+        def short(words):
+            return sorted(words, key=lambda w: (len(w), w))[:n_markers]
+
+        profiles = {
+            "de": short(GERMAN_STOP_WORDS),
+            "en": short(ENGLISH_STOP_WORDS),
+            "es": short(SPANISH_STOP_WORDS),
+            "fr": short(FRENCH_STOP_WORDS),
+        }
+    toks = _ws_toks(F.col(text_col))
+    n = F.size(toks)
+    nn = n.cast("double")
+    scores = []
+    for lang in sorted(profiles):
+        marker = F.array(*[F.lit(w) for w in sorted(profiles[lang])])
+        hits = F.size(F.filter(toks,
+                               lambda x: F.array_contains(marker, x)))
+        ratio = F.when(n > 0, F.round(hits.cast("double") / nn, 6)) \
+            .otherwise(F.lit(0.0))
+        scores.append(F.struct(ratio.alias("score"),
+                               F.lit(lang).alias("lang")))
+    # argmax with lang-asc ties: max over (score, reversed-lang) trick is
+    # fragile; sort desc by score then asc lang via array_sort comparator
+    arr = F.array(*scores)
+    best = F.array_max(F.transform(
+        arr, lambda s: F.struct(
+            s["score"].alias("score"),
+            # invert lang ordering so array_max prefers the SMALLEST lang
+            # on score ties (struct comparison is lexicographic)
+            F.transform(F.split(s["lang"], ""),
+                        lambda c: -F.ascii(c)).alias("inv"),
+            s["lang"].alias("lang"))))
+    return docs.select(
+        F.col(key_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("pred"),
+        best["score"].alias("score"),
+    )

@@ -173,3 +173,25 @@ def test_line_dedup_shuffle_count(spark):
         [(0, "a\nb"), (1, "b\nc")], "doc_id long, text string")
     plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_langid_profile_multilang(spark):
+    from lucene_solr_old_spark.operators.textstats import langid_profile
+
+    rows = [(0, "the cat and the dog are here with it"),
+            (1, "der hund und die katze sind auch da"),
+            (2, "le chat et le chien sont dans la maison"),
+            (3, "el gato y el perro con la casa de las cosas"),
+            (4, "zzz qqq xxx"), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred"] for r in langid_profile(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und", 5: "und"}
+
+
+def test_langid_profile_tie_breaks_to_first_language(spark):
+    from lucene_solr_old_spark.operators.textstats import langid_profile
+
+    # one marker from each of de ('der') and en ('the'): equal scores,
+    # prediction must be the alphabetically first language
+    df = spark.createDataFrame([(0, "der the")], "doc_id long, text string")
+    assert langid_profile(df).collect()[0]["pred"] == "de"
