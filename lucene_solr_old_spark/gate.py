@@ -3507,11 +3507,39 @@ def _q_ivf_search(spark, sf_dir):
 
 # ---- English Snowball (Porter2) -------------------------------------------
 
+_SNOWBALL_VOCAB_ZIP = ("/root/reference/lucene/analysis/common/src/test/org/"
+                       "apache/lucene/analysis/snowball/"
+                       "TestSnowballVocabData.zip")
+
+
+def _fixture_stems(lang: str) -> dict:
+    """Reference voc.txt/output.txt pairs for ``lang`` — an oracle stem map
+    INDEPENDENT of this repo's stemmers, so the DuckDB gate can catch a
+    stemmer bug rather than merely re-running it (ADVICE r3: the previous
+    map was generated by calling the engine's own stemmer).  Returns {}
+    when the reference checkout is absent (the caller then falls back to
+    the engine map, and the gate degrades to plumbing-only as before)."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(_SNOWBALL_VOCAB_ZIP) as z:
+            voc = z.read(f"{lang}/voc.txt").decode("utf-8").splitlines()
+            out = z.read(f"{lang}/output.txt").decode("utf-8").splitlines()
+        return {v.strip(): o.strip() for v, o in zip(voc, out) if v.strip()}
+    except OSError:
+        return {}
+
+
 def _snowball_sql() -> str:
     from .functions.porter2 import porter2_stem
 
+    ref = _fixture_stems("english")
     vocab = _CORPUS_VOCAB + ["merging"]
-    smap = ",".join(f"('{w}','{porter2_stem(w)}')" for w in vocab)
+    # fixture-first; engine fallback only for corpus filler words the
+    # reference vocabulary doesn't list (the query-exercised terms
+    # "tables"/"merging" are both fixture-derived)
+    smap = ",".join(f"('{w}','{ref.get(w) or porter2_stem(w)}')"
+                    for w in vocab)
     prelude = f"""
 raw AS (
   SELECT doc_id, unnest(toks) AS term
@@ -3534,7 +3562,7 @@ cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
               (SELECT count(*) FROM tok) AS sum_ttf),
 lqt(doclen, lq) AS (VALUES {_lq_values()})
 """
-    terms = [porter2_stem(w) for w in ["tables", "merging"]]
+    terms = [ref.get(w) or porter2_stem(w) for w in ["tables", "merging"]]
     return f"""WITH {prelude}, {_scored_cte(terms)}
 SELECT doc_id, round(s, 4) AS score
 FROM scored
@@ -3572,8 +3600,10 @@ def _turkish_sql() -> str:
     from .functions.snowball_tr import turkish_snowball_stem
 
     tr_stop = ",".join(f"'{w}'" for w in sorted(TURKISH_STOP_WORDS))
+    ref = _fixture_stems("turkish")  # non-circular oracle map (ADVICE r3)
     vocab = _CORPUS_VOCAB + ["kitapları"]
-    tmap = ",".join(f"('{w}','{turkish_snowball_stem(w)}')" for w in vocab)
+    tmap = ",".join(f"('{w}','{ref.get(w) or turkish_snowball_stem(w)}')"
+                    for w in vocab)
     prelude = f"""
 raw AS (
   SELECT doc_id, unnest(toks) AS term
@@ -3596,7 +3626,8 @@ cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
               (SELECT count(*) FROM tok) AS sum_ttf),
 lqt(doclen, lq) AS (VALUES {_lq_values()})
 """
-    terms = [turkish_snowball_stem(w) for w in ["kitap", "merge"]]
+    terms = [ref.get(w) or turkish_snowball_stem(w)
+             for w in ["kitap", "merge"]]
     return f"""WITH {prelude}, {_scored_cte(terms)}
 SELECT doc_id, round(s, 4) AS score
 FROM scored
@@ -3724,6 +3755,16 @@ def _q_path_facet(spark, sf_dir):
 
 # ---- phonetic search ------------------------------------------------------
 
+_SOUNDEX_GOLDEN = {
+    # Published Soundex codes (Knuth, TAOCP vol. 3, and the US NARA
+    # standard; "Smith"/"Smyth" -> S530 is the canonical worked example) —
+    # oracle-side constants NOT derived from this repo's encoder, so the
+    # gate can catch an encoder bug (ADVICE r3 non-circularity).
+    "smith": "S530",
+    "smyth": "S530",
+}
+
+
 def _soundex_sql() -> str:
     from .functions.phonetic import soundex
 
@@ -3731,7 +3772,7 @@ def _soundex_sql() -> str:
     rows = []
     for w in vocab:
         rows.append((w, w))
-        code = soundex(w)
+        code = _SOUNDEX_GOLDEN.get(w) or soundex(w)
         if code != w:
             rows.append((w, code))
     smap = ",".join(f"('{a}','{b}')" for a, b in rows)
@@ -3757,7 +3798,7 @@ cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
               (SELECT count(*) FROM tok) AS sum_ttf),
 lqt(doclen, lq) AS (VALUES {_lq_values()})
 """
-    terms = ["smith", soundex("smith")]
+    terms = ["smith", _SOUNDEX_GOLDEN["smith"]]
     return f"""WITH {prelude}, {_scored_cte(terms)}
 SELECT doc_id, round(s, 4) AS score
 FROM scored

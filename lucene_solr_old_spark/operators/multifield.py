@@ -254,7 +254,7 @@ def masked_span_query(mfi: MultiFieldIndex, tree, k: int = 10,
             fld, t = tt.split(_MASK_SEP, 1)
             df = mfi.field(fld).term_stats([t]).get(t, (0, 0))[0]
             w += idf64(df, scorer.stats.max_doc)
-        weight_value = w * 2.2
+        weight_value = w * (float(scorer.stats.k1) + 1.0)
     else:
         acc = np.float32(0.0)
         for tt in sorted(set(_tree_terms(tagged))):

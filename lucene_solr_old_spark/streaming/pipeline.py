@@ -155,7 +155,16 @@ def near_dedup_stream(stream_df: DataFrame, key_col: str = "url",
             return
         state.update((1,))
         if rows:
-            head = rows[0].iloc[:1].copy()
+            # Winner must be deterministic and consistent ACROSS bands:
+            # applyInPandasWithState delivers a group's rows in
+            # shuffle-arrival order, so "first chunk, first row" could pick
+            # a different document in different band groups of the same
+            # micro-batch, splitting a novel doc's bucket-first wins and
+            # suppressing every copy.  Sorting by key makes the min-key doc
+            # win every band it occupies.
+            allrows = pd.concat(rows, ignore_index=True)
+            head = (allrows.sort_values("key", kind="mergesort")
+                    .iloc[:1].copy())
             head["first"] = True
             yield head[["key", "band", "bucket", "first"]]
 

@@ -123,9 +123,13 @@ def test_near_dedup_stream_across_batches(spark, tmp_path):
     for r in spark.read.parquet(out_dir).collect():
         by_key[r.key] = by_key.get(r.key, 0) + 1
     # u3 owns all 4 of its buckets; u1/u2 share identical buckets, so
-    # exactly one winner per bucket between them
+    # exactly one winner per bucket between them — and because the
+    # within-batch winner is the min key sorted per bucket, ONE doc (u1)
+    # must win ALL 4 shared buckets (the ADVICE-r3 determinism fix: a
+    # split like u1=2/u2=2 would suppress both under the novelty recipe)
     assert by_key.get("u3", 0) == 4
-    assert by_key.get("u1", 0) + by_key.get("u2", 0) == 4
+    assert by_key.get("u1", 0) == 4
+    assert by_key.get("u2", 0) == 0
 
     # batch 2 (recovered state): u4 near-dups u3 -> owns NO bucket;
     # u5 is novel -> owns all 4
