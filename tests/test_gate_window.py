@@ -20,7 +20,8 @@ from lucene_solr_old_spark import gate
 # gates green in CORRECTNESS_r01 or r02 (driver history); anything outside
 # this set has never been driver-certified and MUST be inside the window.
 _HISTORICALLY_GREEN = set()
-for _f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+for _f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+           "CORRECTNESS_r03.json"):
     _p = os.path.join(os.path.dirname(os.path.dirname(__file__)), _f)
     if os.path.exists(_p):
         with open(_p) as fh:

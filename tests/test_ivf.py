@@ -74,3 +74,61 @@ def test_ivf_search_prunes_to_probed_clusters(spark, emb):
     # nprobe=1 scans only the +1 cluster: half the corpus
     assert len(out) == 20
     assert all(r["vec_id"] % 2 == 0 for r in out)
+
+
+def test_index_vectors_ivf_equals_inplan_and_prunes(spark, emb, tmp_path):
+    """The materialized (vec_id, embedding, cid) table gives identical
+    results to the in-plan assignment AND its probe is partition-pruned
+    at the parquet scan (the r3 verdict's required evidence)."""
+    from lucene_solr_old_spark.operators.similarity import index_vectors
+
+    cents = kmeans_fit(emb, k=2, iters=2)
+    path = str(tmp_path / "vecidx")
+    idx = index_vectors(emb, centroids=cents, path=path)
+    q = [1.0, 1.0, 1.0, 1.0]
+    via_index = ivf_search(emb, q, cents, k=5, nprobe=1,
+                           index=idx).collect()
+    in_plan = ivf_search(emb, q, cents, k=5, nprobe=1).collect()
+    assert [(r["vec_id"], r["cos"]) for r in via_index] == \
+           [(r["vec_id"], r["cos"]) for r in in_plan]
+
+    # partition pruning: the cid filter must reach the scan as a
+    # PartitionFilters entry, not a post-scan Filter
+    plan = idx.where(F.col("cid") == 0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan
+
+
+def test_index_vectors_lsh_equals_inplan(spark, emb, tmp_path):
+    from lucene_solr_old_spark.operators.similarity import (ann_search,
+                                                            index_vectors)
+
+    path = str(tmp_path / "vecidx_lsh")
+    idx = index_vectors(emb, dim=4, n_planes=4, path=path)
+    q = [1.0, 1.0, 1.0, 1.0]
+    via_index = ann_search(emb, q, k=5, n_planes=4, probes=1,
+                           index=idx).collect()
+    in_plan = ann_search(emb, q, k=5, n_planes=4, probes=1).collect()
+    assert [(r["vec_id"], r["cos"]) for r in via_index] == \
+           [(r["vec_id"], r["cos"]) for r in in_plan]
+
+
+def test_kmeans_fit_dim_robust(spark):
+    """dim=256: the posexplode centroid aggregate keeps the plan narrow
+    (no 256-column unroll) and still converges to the two planted
+    clusters."""
+    rows = []
+    for i in range(30):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + (i % 5) * 1e-3] * 256))
+    emb256 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(emb256, k=2, iters=2)
+    assert len(cents) == 2 and all(len(cv) == 256 for _c, cv in cents)
+    signs = sorted(1 if cv[0] > 0 else -1 for _c, cv in cents)
+    assert signs == [-1, 1]
+    a = assign_clusters(emb256, cents)
+    counts = {r["cid"]: r["n"] for r in
+              a.groupBy("cid").agg(F.count("*").alias("n")).collect()}
+    assert sorted(counts.values()) == [15, 15]
