@@ -2256,6 +2256,7 @@ def _q_regexp(spark, sf_dir):
 # ---- language packs: KStem + French (round 3) -------------------------------
 
 from .functions import lang as _lang  # noqa: E402  (registers analyzers)
+from .functions import lang2 as _lang2  # noqa: E402 (ca/eu/hy/br/th packs)
 
 # The fixed 31-word corpus vocabulary has no inflected forms, so each
 # language gate derives them deterministically on BOTH sides: the Spark
@@ -3921,6 +3922,136 @@ def _q_langid_multi(spark, sf_dir):
     return langid_profile(docs).orderBy("doc_id")
 
 
+# ---- round-4 language packs: Catalan (elision + Snowball), Thai ------------
+
+def _catalan_sql() -> str:
+    from .functions.lang2 import CATALAN_STOP_WORDS
+    from .functions.snowball_ca import catalan_snowball_stem
+
+    # the ca stop list contains apostrophed forms (d'un, s'ha, ...)
+    ca_stop = ",".join("'" + w.replace("'", "''") + "'"
+                       for w in sorted(CATALAN_STOP_WORDS))
+    # Query-exercised stems are LITERAL goldens from the COMPILED reference
+    # CatalanStemmer probe (tests/test_snowball_new.py pins them), so the
+    # oracle is engine-independent for every term it scores; the engine map
+    # covers only corpus filler the probe list doesn't touch.
+    probe = {"cantaria": "cant", "cantall": "cant", "home": "hom"}
+    vocab = _CORPUS_VOCAB + list(probe)
+    cmap = ",".join(
+        f"('{w}','{probe.get(w) or catalan_snowball_stem(w)}')"
+        for w in vocab)
+    elision = "regexp_replace(term, '^(d|l|m|n|s|t)[''’]', '')"
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 5 = 0
+                                       THEN ' l''home cantall' ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+el AS (SELECT doc_id, {elision} AS term FROM raw),
+cmap(w, stem) AS (VALUES {cmap}),
+tok AS (SELECT el.doc_id, coalesce(c.stem, el.term) AS term
+        FROM el LEFT JOIN cmap c ON c.w = el.term
+        WHERE el.term NOT IN ({ca_stop})),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    terms = [probe["cantaria"], probe["home"]]
+    return f"""WITH {prelude}, {_scored_cte(terms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("catalan_search", _catalan_sql())
+def _q_catalan(spark, sf_dir):
+    # CatalanAnalyzer chain (ca/CatalanAnalyzer.java:126-135): standard ->
+    # Elision(d l m n s t) -> lower -> stop(ca) -> Snowball Catalan
+    # (111,605 probe pairs bit-exact).  Every 5th doc gains "l'home
+    # cantall"; the query "cantaria l'home" conflates through elision
+    # (l'home -> home -> hom) and the stemmer (cantaria/cantall -> cant).
+    cache_key = (id(spark), f"{sf_dir}::catalan")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" l'home cantall"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="catalan").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "cantaria l'home",
+                    k=40, precision="float64"))
+
+
+def _thai_sql() -> str:
+    # The injected Thai phrase segments to exactly [แสดง งาน ดี] — the
+    # reference's OWN TestThaiAnalyzer golden (8-way dictionary
+    # segmentation minus 5 Thai stopwords), carried here as a
+    # pre-segmented literal so the oracle never calls the engine's
+    # segmenter.  English corpus tokens pass the Thai chain unchanged
+    # (lowercased, no English stop removal — th/ThaiAnalyzer.java uses
+    # the Thai stopword set only).
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 6 = 0
+                                       THEN ' แสดง งาน ดี' ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+tok AS (SELECT doc_id, term FROM raw),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    return f"""WITH {prelude}, {_scored_cte(["งาน"])}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("thai_search", _thai_sql())
+def _q_thai(spark, sf_dir):
+    # ThaiAnalyzer chain (th/ThaiAnalyzer.java): standard -> ThaiWordFilter
+    # (dictionary maximal-match wordbreak) -> lower -> stop(thai, 115
+    # words).  Every 6th doc gains the unsegmented reference test phrase
+    # การที่ได้ต้องแสดงว่างานดี; the query งาน matches through the segmenter.
+    cache_key = (id(spark), f"{sf_dir}::thai")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 6 == 0,
+                       F.lit(" การที่ได้ต้องแสดงว่างานดี"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="thai").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "งาน",
+                    k=40, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -3953,6 +4084,7 @@ _PRIORITY: list[str] = [
     "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
     # -- new in round 4 (never certified): names are inserted here as each
     # gate is registered, displacing canaries off the end of the window --
+    "catalan_search", "thai_search",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots
