@@ -132,6 +132,15 @@ def ws_stop_analyze(text: str) -> list[Token]:
     return out
 
 
+def ws_lower_analyze(text: str) -> list[Token]:
+    """WhitespaceTokenizer + LowerCase, no stops, no stemming — the
+    reference's test-corpus analyzer (e.g. the surround parser's
+    ``SingleFieldTestDb``) and the raw-term chain the surround parser
+    expects (it applies no analysis to query terms)."""
+    return [Token(m.group(0).lower(), pos, m.start(), m.end())
+            for pos, m in enumerate(_WS_RE.finditer(text))]
+
+
 def english_folded_analyze(text: str) -> list[Token]:
     """EnglishAnalyzer chain with ASCIIFoldingFilter inserted before the
     stop filter (the common Solr text_en + asciifolding ordering):
@@ -151,6 +160,7 @@ def english_folded_analyze(text: str) -> list[Token]:
 ANALYZERS = {
     "english": analyze,
     "ws_stop": ws_stop_analyze,
+    "ws_lower": ws_lower_analyze,
     "english_folded": english_folded_analyze,
 }
 

@@ -4052,6 +4052,66 @@ def _q_thai(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+# ---- surround query parser -------------------------------------------------
+
+# (qid, db, query, expected docs) — the match sets are the reference's OWN
+# goldens (queryparser surround Test02Boolean/Test03Distance expdnrs
+# arrays), so the oracle is engine-independent.
+_SURROUND_DB = {
+    1: ["word1 word2 word3", "word4 word5", "ord1 ord2 ord3",
+        "orda1 orda2 orda3 word2 worda3", "a c e a b c"],
+    2: ["w1 w2 w3 w4 w5", "w1 w3 w2 w3", ""],
+    3: ["low pressure temperature inversion and rain",
+        "when the temperature has a negative height above a depression "
+        "no precipitation gradient is expected",
+        "when the temperature has a negative height gradient above a "
+        "depression no precipitation is expected",
+        ""],
+}
+_SURROUND_CASES = [
+    (0, 1, "word1 w word2", [0]),
+    (1, 1, "word2 2N word1", [0]),
+    (2, 1, "orda1 2w orda3", [3]),
+    (3, 1, "word2 w word*", [0, 3]),
+    (4, 1, "(orda2 OR orda3) 2W (word2 OR worda3)", [3]),
+    (5, 1, "word* and ord*", [3]),
+    (6, 1, "word2* not ord*", [0]),
+    (7, 1, "or( word2* not ord*, and(xyz,def))", [0]),
+    (8, 2, "2W(w1,w2,w3)", [0, 1]),
+    (9, 2, "w1 2N w2 2N w3", [0, 1]),
+    (10, 3, "50n((low w pressure*) or depression*,"
+            "5n(temperat*, (invers* or (negativ* 3n gradient*))),"
+            "rain* or precipitat*)", [0, 2]),
+]
+
+
+@_reg("surround_query", """
+SELECT * FROM (VALUES """ + ",".join(
+    f"({q}::INT, {d}::BIGINT)"
+    for q, _db, _qs, exp in _SURROUND_CASES for d in exp) + """)
+AS t(qid, doc_id) ORDER BY qid, doc_id""")
+def _q_surround(spark, sf_dir):
+    # surround parser (queryparser/surround/parser/QueryParser.jj): span
+    # syntax W/N with 2-99 distance prefixes, infix + prefix forms,
+    # truncation expansion, AND/OR/NOT — executed on the span algebra;
+    # expected doc sets are the reference's own test goldens
+    from .plans.surround import surround_search
+
+    outs = []
+    for qid, db, qs, _exp in _SURROUND_CASES:
+        idx = _fixture_index_analyzer(
+            spark, [(str(i), t) for i, t in enumerate(_SURROUND_DB[db])],
+            f"surround{db}", "ws_lower")
+        out = (surround_search(idx, qs, k=20)
+               .select(F.lit(qid).cast("int").alias("qid"),
+                       F.col("key").cast("long").alias("doc_id")))
+        outs.append(out)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("qid", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4084,7 +4144,7 @@ _PRIORITY: list[str] = [
     "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
     # -- new in round 4 (never certified): names are inserted here as each
     # gate is registered, displacing canaries off the end of the window --
-    "catalan_search", "thai_search",
+    "catalan_search", "thai_search", "surround_query",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots
