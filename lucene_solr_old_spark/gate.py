@@ -2257,6 +2257,7 @@ def _q_regexp(spark, sf_dir):
 
 from .functions import lang as _lang  # noqa: E402  (registers analyzers)
 from .functions import lang2 as _lang2  # noqa: E402 (ca/eu/hy/br/th packs)
+from .functions import smartcn as _smartcn  # noqa: E402 (smart_chinese)
 
 # The fixed 31-word corpus vocabulary has no inflected forms, so each
 # language gate derives them deterministically on BOTH sides: the Spark
@@ -4112,6 +4113,73 @@ def _q_surround(spark, sf_dir):
     return res.orderBy("qid", "doc_id")
 
 
+# ---- SmartChineseAnalyzer (dictionary HMM segmentation) --------------------
+
+def _smartcn_sql() -> str:
+    from .functions.porter import porter_stem
+
+    # English corpus tokens pass the smartcn chain as lowercase +
+    # PorterStem (SmartChineseAnalyzer.createComponents); the stem map is
+    # fixture-first from the reference porter vocabulary.  The injected
+    # Chinese phrase contributes exactly [我 购买 了 道具 和 服装] — the
+    # reference's OWN TestSmartChineseAnalyzer golden — carried as a
+    # pre-segmented literal so the oracle never calls the segmenter.
+    ref = _fixture_stems("porter")
+    smap = ",".join(f"('{w}','{ref.get(w) or porter_stem(w)}')"
+                    for w in _CORPUS_VOCAB)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 9 = 0
+                                       THEN ' 我 购买 了 道具 和 服装'
+                                       ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+smap(w, stem) AS (VALUES {smap}),
+tok AS (SELECT raw.doc_id, coalesce(s.stem, raw.term) AS term
+        FROM raw LEFT JOIN smap s ON s.w = raw.term),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    return f"""WITH {prelude}, {_scored_cte(["服装"])}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("smartcn_search", _smartcn_sql())
+def _q_smartcn(spark, sf_dir):
+    # SmartChineseAnalyzer (smartcn/SmartChineseAnalyzer.java): sentence
+    # split -> HHMM dictionary-lattice Viterbi segmentation -> full-width
+    # fold/lowercase -> Porter -> punctuation stop.  Every 9th doc gains
+    # the unsegmented reference test phrase; the query 服装 matches
+    # through the segmenter.
+    cache_key = (id(spark), f"{sf_dir}::smartcn")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 9 == 0,
+                       F.lit(" 我购买了道具和服装"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="smart_chinese").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "服装",
+                    k=40, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4144,7 +4212,7 @@ _PRIORITY: list[str] = [
     "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
     # -- new in round 4 (never certified): names are inserted here as each
     # gate is registered, displacing canaries off the end of the window --
-    "catalan_search", "thai_search", "surround_query",
+    "catalan_search", "thai_search", "surround_query", "smartcn_search",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots
