@@ -4180,6 +4180,41 @@ def _q_smartcn(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+# ---- order-stable sequence packing -----------------------------------------
+
+@_reg("pack_sequences", """
+WITH RECURSIVE toks AS (
+  SELECT doc_id::VARCHAR AS key,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+         substr(md5(doc_id::VARCHAR), 1, 1) AS bucket
+  FROM documents),
+o AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY key) AS rn
+      FROM toks),
+s AS (
+  SELECT bucket, rn, key, n, n AS cum, 0 AS seq
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.key, o.n,
+         CASE WHEN s.cum + o.n > 200 THEN o.n ELSE s.cum + o.n END,
+         CASE WHEN s.cum + o.n > 200 THEN s.seq + 1 ELSE s.seq END
+  FROM s JOIN o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+SELECT bucket || '-' || seq AS seq_id,
+       count(*) AS n_docs,
+       sum(n)::BIGINT AS total_tokens,
+       (sum(n) > 200) AS oversize
+FROM s GROUP BY bucket, seq
+ORDER BY seq_id""")
+def _q_pack_sequences(spark, sf_dir):
+    # order-stable training-sequence packing: md5-hex bucket + in-bucket
+    # key order + greedy budget scan — seq ids are content-derived, so
+    # the identical packing is reproducible as a recursive SQL scan
+    from .operators.packing import pack_sequences_stable
+
+    return (pack_sequences_stable(_docs(spark, sf_dir), max_tokens=200)
+            .select("seq_id", "n_docs", "total_tokens", "oversize")
+            .orderBy("seq_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4213,6 +4248,7 @@ _PRIORITY: list[str] = [
     # -- new in round 4 (never certified): names are inserted here as each
     # gate is registered, displacing canaries off the end of the window --
     "catalan_search", "thai_search", "surround_query", "smartcn_search",
+    "pack_sequences",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "pack_sequences_stable"]
 
 
 def pack_sequences(docs: DataFrame, max_tokens: int,
@@ -86,6 +86,77 @@ def pack_sequences(docs: DataFrame, max_tokens: int,
                           "oversize"])
 
     return with_tokens.mapInPandas(
+        pack,
+        "seq_id string, doc_ids array<string>, n_docs long, "
+        "total_tokens long, oversize boolean")
+
+
+def pack_sequences_stable(docs: DataFrame, max_tokens: int,
+                          key_col: str = "doc_id", text_col: str = "text",
+                          hex_chars: int = 1) -> DataFrame:
+    """Order-stable packing: seq ids are a pure function of the corpus
+    content, independent of Spark's partition layout.
+
+    Documents are bucketed by the first ``hex_chars`` hex digits of
+    ``md5(key)`` (16^hex_chars buckets — the same rerun-stable md5 idiom
+    as operators/sampling.py), sorted by key INSIDE each bucket, and
+    packed greedily with the unified rule
+
+        new pack  <=>  first doc in bucket OR running_tokens + n > budget
+
+    which also gives an over-budget document its own ``oversize`` pack
+    (running_tokens = n > budget forces the next doc out too).  Because
+    bucket and order are content-derived, the result is identical under
+    any input partitioning AND expressible as a recursive SQL scan —
+    unlike :func:`pack_sequences`, whose (partition_id, local_seq) ids
+    depend on the hash-shuffle layout.
+
+    Plan: one hash exchange on the bucket column, then a linear
+    per-bucket pass in ``mapInPandas``; at 10^12 docs raise
+    ``hex_chars`` so each bucket fits an Arrow batch comfortably.
+
+    Returns (seq_id, doc_ids, n_docs, total_tokens, oversize).
+    """
+    import pandas as pd
+
+    key = F.col(key_col).cast("string")
+    with_tokens = docs.select(
+        key.alias("key"),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda x: x != F.lit(""))).alias("n_tokens"),
+        F.substring(F.md5(key), 1, hex_chars).alias("bucket"))
+    routed = with_tokens.repartition("bucket")
+
+    def pack(batches):
+        buckets: dict[str, list] = {}
+        for b in batches:
+            for key_, n, bk in zip(b["key"], b["n_tokens"], b["bucket"]):
+                buckets.setdefault(bk, []).append((key_, int(n)))
+        out = []
+        for bk in sorted(buckets):
+            rows = sorted(buckets[bk])
+            seq = -1
+            cur = 0
+            cur_keys: list[str] = []
+
+            def flush():
+                if cur_keys:
+                    out.append((f"{bk}-{seq}", list(cur_keys),
+                                len(cur_keys), cur, cur > max_tokens))
+
+            for k, n in rows:
+                if seq < 0 or cur + n > max_tokens:
+                    flush()
+                    seq += 1
+                    cur_keys, cur = [], 0
+                cur_keys.append(k)
+                cur += n
+            flush()
+        yield pd.DataFrame(
+            out, columns=["seq_id", "doc_ids", "n_docs", "total_tokens",
+                          "oversize"])
+
+    return routed.mapInPandas(
         pack,
         "seq_id string, doc_ids array<string>, n_docs long, "
         "total_tokens long, oversize boolean")

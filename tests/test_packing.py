@@ -67,3 +67,59 @@ def test_pack_single_exchange_plan(spark):
     plan = pack_sequences(docs, 100)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# ---- order-stable variant ---------------------------------------------------
+
+def test_stable_pack_layout_independent(spark):
+    from lucene_solr_old_spark.operators.packing import pack_sequences_stable
+
+    docs = _mkdocs(spark, [30, 70, 20, 80, 50, 50, 10, 120, 5])
+    a = sorted(map(tuple, pack_sequences_stable(docs, 100)
+                   .select("seq_id", "n_docs", "total_tokens", "oversize")
+                   .collect()))
+    b = sorted(map(tuple, pack_sequences_stable(docs.repartition(7), 100)
+                   .select("seq_id", "n_docs", "total_tokens", "oversize")
+                   .collect()))
+    assert a == b and a  # identical INCLUDING seq ids
+
+
+def test_stable_pack_matches_reference_scan(spark):
+    import hashlib
+
+    from lucene_solr_old_spark.operators.packing import pack_sequences_stable
+
+    lens = [10, 90, 40, 70, 200, 1, 1, 130, 60]
+    docs = _mkdocs(spark, lens)
+    got = {p["seq_id"]: (tuple(p["doc_ids"]), p["total_tokens"],
+                         p["oversize"])
+           for p in pack_sequences_stable(docs, 100).collect()}
+
+    # driver-side reference: same md5 bucket, key order, greedy rule
+    buckets = {}
+    for i, n in enumerate(lens):
+        k = str(i)
+        buckets.setdefault(
+            hashlib.md5(k.encode()).hexdigest()[:1], []).append((k, n))
+    exp = {}
+    for bk, rows in buckets.items():
+        seq, cur, keys = -1, 0, []
+        for k, n in sorted(rows):
+            if seq < 0 or cur + n > 100:
+                if keys:
+                    exp[f"{bk}-{seq}"] = (tuple(keys), cur, cur > 100)
+                seq, cur, keys = seq + 1, 0, []
+            keys.append(k)
+            cur += n
+        if keys:
+            exp[f"{bk}-{seq}"] = (tuple(keys), cur, cur > 100)
+    assert got == exp
+
+
+def test_stable_pack_single_exchange_plan(spark):
+    from lucene_solr_old_spark.operators.packing import pack_sequences_stable
+
+    docs = _mkdocs(spark, [10, 20])
+    plan = pack_sequences_stable(docs, 100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
