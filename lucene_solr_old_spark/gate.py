@@ -4215,6 +4215,78 @@ def _q_pack_sequences(spark, sf_dir):
             .orderBy("seq_id"))
 
 
+# ---- WikipediaTokenizer ----------------------------------------------------
+
+# (qid, text, mode, untokenized_types, expected rows) — expectations are
+# the reference's OWN WikipediaTokenizerTest goldens (terms, types,
+# posIncs, offsets), so the oracle is engine-independent.
+_WIKI_CASES = [
+    (0, "This is a [[Category:foo]]", 0, [],
+     [("This", "<ALPHANUM>", 1, 0, 4), ("is", "<ALPHANUM>", 1, 5, 7),
+      ("a", "<ALPHANUM>", 1, 8, 9), ("foo", "c", 1, 21, 24)]),
+    (1, "click [[link here again]] click "
+        "[http://lucene.apache.org here again] [[Category:a b c d]]",
+     0, [],
+     [("click", "<ALPHANUM>", 1, 0, 5), ("link", "il", 1, 8, 12),
+      ("here", "il", 1, 13, 17), ("again", "il", 1, 18, 23),
+      ("click", "<ALPHANUM>", 1, 26, 31),
+      ("http://lucene.apache.org", "elu", 1, 33, 57),
+      ("here", "el", 0, 58, 62), ("again", "el", 1, 63, 68),
+      ("a", "c", 1, 81, 82), ("b", "c", 1, 83, 84),
+      ("c", "c", 1, 85, 86), ("d", "c", 1, 87, 88)]),
+    (2, "[[Category:a b c d]] [[Category:e f g]] [[link here]] "
+        "''italics here'' something [[Category:h   i   j]]",
+     1, ["c", "i"],
+     [("a b c d", "c", 1, 11, 18), ("e f g", "c", 1, 32, 37),
+      ("link", "il", 1, 42, 46), ("here", "il", 1, 47, 51),
+      ("italics here", "i", 1, 56, 68),
+      ("something", "<ALPHANUM>", 1, 71, 80),
+      ("h   i   j", "c", 1, 92, 101)]),
+]
+
+
+def _wiki_sql() -> str:
+    vals = ",".join(
+        f"({q}::INT, {i}::INT, '{term}', '{typ}', {pi}::INT, "
+        f"{so}::INT, {eo}::INT)"
+        for q, _t, _m, _u, exp in _WIKI_CASES
+        for i, (term, typ, pi, so, eo) in enumerate(exp))
+    return f"""SELECT * FROM (VALUES {vals})
+AS t(qid, ord, term, type, pos_inc, start_off, end_off)
+ORDER BY qid, ord"""
+
+
+@_reg("wikipedia_markup", _wiki_sql())
+def _q_wikipedia(spark, sf_dir):
+    # WikipediaTokenizer (analysis/wikipedia/WikipediaTokenizerImpl.jflex):
+    # markup-aware tokens w/ types + the UNTOKENIZED collapse mode,
+    # executed distributed (mapInPandas over the fixture frame)
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(q, t, m, u) for q, t, m, u, _exp in _WIKI_CASES],
+        "qid int, text string, mode int, untoks array<string>")
+
+    def run(batches):
+        from lucene_solr_old_spark.functions.wikipedia import \
+            wikipedia_tokenize
+        for b in batches:
+            rows = []
+            for q, t, m, u in zip(b["qid"], b["text"], b["mode"],
+                                  b["untoks"]):
+                for i, tok in enumerate(
+                        wikipedia_tokenize(t, int(m), frozenset(u))):
+                    rows.append((int(q), i, tok.term, tok.type,
+                                 tok.pos_inc, tok.start, tok.end))
+            yield pd.DataFrame(rows, columns=[
+                "qid", "ord", "term", "type", "pos_inc", "start_off",
+                "end_off"])
+
+    return df.repartition(4).mapInPandas(
+        run, "qid int, ord int, term string, type string, pos_inc int, "
+             "start_off int, end_off int").orderBy("qid", "ord")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4248,7 +4320,7 @@ _PRIORITY: list[str] = [
     # -- new in round 4 (never certified): names are inserted here as each
     # gate is registered, displacing canaries off the end of the window --
     "catalan_search", "thai_search", "surround_query", "smartcn_search",
-    "pack_sequences",
+    "pack_sequences", "wikipedia_markup",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots
