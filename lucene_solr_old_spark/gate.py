@@ -4287,6 +4287,48 @@ def _q_wikipedia(spark, sf_dir):
              "start_off int, end_off int").orderBy("qid", "ord")
 
 
+# ---- ICU transforms --------------------------------------------------------
+
+# (qid, transform id, input, expected) — TestICUTransformFilter's own
+# goldens; the oracle is the literal expected strings.
+_ICU_CASES = [
+    (0, "Traditional-Simplified", "簡化字", "简化字"),
+    (1, "Katakana-Hiragana", "ヒラガナ", "ひらがな"),
+    (2, "Fullwidth-Halfwidth", "アルアノリウ", "ｱﾙｱﾉﾘｳ"),
+    (3, "Any-Latin", "Αλφαβητικός Κατάλογος", "Alphabētikós Katálogos"),
+    (4, "NFD; [:Nonspacing Mark:] Remove", "Alphabētikós Katálogos",
+     "Alphabetikos Katalogos"),
+    (5, "Han-Latin", "中国", "zhōng guó"),
+    (6, "Traditional-Simplified; CaseFold", "ABCDE", "abcde"),
+    (7, "Cyrillic-Latin", "Российская Федерация", "Rossijskaâ Federaciâ"),
+]
+
+
+@_reg("icu_transform", """
+SELECT * FROM (VALUES """ + ",".join(
+    f"({q}::INT, '{out}')" for q, _t, _i, out in _ICU_CASES) + """)
+AS t(qid, result) ORDER BY qid""")
+def _q_icu_transform(spark, sf_dir):
+    # ICUTransformFilter analogue (analysis/icu/ICUTransformFilter.java):
+    # named system transforms executed distributed over the fixture frame
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(q, t, i) for q, t, i, _o in _ICU_CASES],
+        "qid int, tid string, input string")
+
+    def run(batches):
+        from lucene_solr_old_spark.functions.icu2 import icu_transform
+        for b in batches:
+            yield pd.DataFrame(
+                {"qid": [int(q) for q in b["qid"]],
+                 "result": [icu_transform(i, t)
+                            for t, i in zip(b["tid"], b["input"])]})
+
+    return df.repartition(4).mapInPandas(
+        run, "qid int, result string").orderBy("qid")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4320,7 +4362,7 @@ _PRIORITY: list[str] = [
     # -- new in round 4 (never certified): names are inserted here as each
     # gate is registered, displacing canaries off the end of the window --
     "catalan_search", "thai_search", "surround_query", "smartcn_search",
-    "pack_sequences", "wikipedia_markup",
+    "pack_sequences", "wikipedia_markup", "icu_transform",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots
