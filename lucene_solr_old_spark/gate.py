@@ -2258,6 +2258,7 @@ def _q_regexp(spark, sf_dir):
 from .functions import lang as _lang  # noqa: E402  (registers analyzers)
 from .functions import lang2 as _lang2  # noqa: E402 (ca/eu/hy/br/th packs)
 from .functions import smartcn as _smartcn  # noqa: E402 (smart_chinese)
+from .functions import kuromoji as _kuromoji  # noqa: E402 (japanese)
 
 # The fixed 31-word corpus vocabulary has no inflected forms, so each
 # language gate derives them deterministically on BOTH sides: the Spark
@@ -4329,6 +4330,65 @@ def _q_icu_transform(spark, sf_dir):
         run, "qid int, result string").orderBy("qid")
 
 
+# ---- JapaneseAnalyzer (kuromoji analogue) ----------------------------------
+
+def _japanese_sql() -> str:
+    # English corpus tokens pass the ja chain unchanged (latin unknown
+    # runs, lowercased, no English stops).  The injected sentence
+    # analyzes to exactly [多く 学生 試験 落ちる] — particles/aux
+    # POS-stopped, 落ち lemmatized — the reference's OWN
+    # TestJapaneseAnalyzer.testBasics golden, carried pre-analyzed.
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 11 = 0
+                                       THEN ' 多く 学生 試験 落ちる'
+                                       ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+tok AS (SELECT doc_id, term FROM raw),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    return f"""WITH {prelude}, {_scored_cte(["試験"])}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("japanese_search", _japanese_sql())
+def _q_japanese(spark, sf_dir):
+    # JapaneseAnalyzer chain (kuromoji, ja/JapaneseAnalyzer.java):
+    # Viterbi lattice (search mode) -> base form -> POS stop -> width
+    # fold -> stop(ja) -> katakana stem -> lower.  Every 11th doc gains
+    # the unsegmented reference sentence; query 試験 matches through
+    # the segmenter.
+    cache_key = (id(spark), f"{sf_dir}::japanese")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 11 == 0,
+                       F.lit(" 多くの学生が試験に落ちた"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="japanese").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "試験",
+                    k=40, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4363,6 +4423,7 @@ _PRIORITY: list[str] = [
     # gate is registered, displacing canaries off the end of the window --
     "catalan_search", "thai_search", "surround_query", "smartcn_search",
     "pack_sequences", "wikipedia_markup", "icu_transform",
+    "japanese_search",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots
