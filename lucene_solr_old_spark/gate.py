@@ -2259,6 +2259,7 @@ from .functions import lang as _lang  # noqa: E402  (registers analyzers)
 from .functions import lang2 as _lang2  # noqa: E402 (ca/eu/hy/br/th packs)
 from .functions import smartcn as _smartcn  # noqa: E402 (smart_chinese)
 from .functions import kuromoji as _kuromoji  # noqa: E402 (japanese)
+from .functions import stempel as _stempel  # noqa: E402 (polish)
 
 # The fixed 31-word corpus vocabulary has no inflected forms, so each
 # language gate derives them deterministically on BOTH sides: the Spark
@@ -4389,6 +4390,134 @@ def _q_japanese(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+# ---- embedding-cosine near-dup pairs ---------------------------------------
+
+def _neardup_sql(n_planes: int = 8) -> str:
+    bits = " + ".join(
+        f"""(CASE WHEN SUM(CASE WHEN (('0x' || substr(md5({j} || ':' ||
+                 (i-1)),1,2))::INT & 1) = 1
+                 THEN x ELSE -x END) > 0 THEN {2**j} ELSE 0 END)"""
+        for j in range(n_planes))
+    return f"""
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000, embedding FROM embeddings WHERE vec_id < 25
+  UNION ALL
+  SELECT vec_id + 1000, list_transform(embedding, x -> x * 2.0)
+  FROM embeddings WHERE vec_id >= 25 AND vec_id < 50),
+p AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM emb2),
+bk AS (SELECT vec_id, ({bits})::BIGINT AS bucket FROM p GROUP BY vec_id),
+e AS (SELECT e2.vec_id, e2.embedding, bk.bucket
+      FROM emb2 e2 JOIN bk USING (vec_id)),
+pr AS (SELECT l.vec_id AS a, r.vec_id AS b, l.embedding AS va,
+              r.embedding AS vb
+       FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+z AS (SELECT a, b, unnest(va)::DOUBLE AS x, unnest(vb)::DOUBLE AS y
+      FROM pr),
+d AS (SELECT a, b, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+      FROM z GROUP BY a, b)
+SELECT a, b, round(dot/(sqrt(nx)*sqrt(ny)), 6) AS cos
+FROM d WHERE dot/(sqrt(nx)*sqrt(ny)) >= 0.9
+ORDER BY a, b"""
+
+
+@_reg("embedding_neardup", _neardup_sql())
+def _q_embedding_neardup(spark, sf_dir):
+    # embedding-cosine near-dup pairs: SRP-LSH bucket equi-join candidate
+    # generation + exact cosine inside buckets (the embedded-corpus
+    # sibling of minhash_lsh_pairs).  25 exact + 25 scaled (x2 —
+    # cosine/bucket invariant) duplicate vectors are injected on both
+    # sides; only those 50 pairs clear the 0.9 threshold.
+    from .operators.similarity import embedding_neardup_pairs
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dups = (emb.where(F.col("vec_id") < 25)
+            .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+    scaled = (emb.where((F.col("vec_id") >= 25) & (F.col("vec_id") < 50))
+              .select((F.col("vec_id") + 1000).alias("vec_id"),
+                      F.transform("embedding",
+                                  lambda x: x.cast("double") * 2.0)
+                      .cast("array<float>").alias("embedding")))
+    emb2 = emb.unionByName(dups).unionByName(scaled)
+    return embedding_neardup_pairs(emb2, dim=64, threshold=0.9)
+
+
+# ---- PolishAnalyzer (stempel Egothor trie) ---------------------------------
+
+def _polish_sql() -> str:
+    from .functions.stempel import (POLISH_STOP_WORDS, _default_stemmer)
+
+    pl_stop = ",".join("'" + w.replace("'", "''") + "'"
+                       for w in sorted(POLISH_STOP_WORDS))
+    st = _default_stemmer()
+
+    def _stem(w: str) -> str:
+        if st is None or len(w) <= 3:
+            return w
+        return st.stem(w) or w
+
+    # query-exercised stems are the reference's OWN TestPolishAnalyzer
+    # goldens (studenta/studenci -> student), literal in the map; engine
+    # map covers only corpus filler
+    golden = {"studenta": "student", "studenci": "student"}
+    vocab = _CORPUS_VOCAB + list(golden)
+    pmap = ",".join(f"('{w}','{golden.get(w) or _stem(w)}')"
+                    for w in vocab)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 10 = 0
+                                       THEN ' studenci' ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+pmap(w, stem) AS (VALUES {pmap}),
+tok AS (SELECT raw.doc_id, coalesce(p.stem, raw.term) AS term
+        FROM raw LEFT JOIN pmap p ON p.w = raw.term
+        WHERE raw.term NOT IN ({pl_stop})),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    return f"""WITH {prelude}, {_scored_cte(["student"])}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("polish_search", _polish_sql())
+def _q_polish(spark, sf_dir):
+    # PolishAnalyzer (stempel): standard -> lower -> stop(pl) -> Egothor
+    # trie patch-command stemmer running the reference's own trained
+    # table.  Every 10th doc gains "studenci"; the query "studenta"
+    # conflates through the lemmatizer (both -> student, the reference
+    # TestPolishAnalyzer golden).
+    cache_key = (id(spark), f"{sf_dir}::polish")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 10 == 0, F.lit(" studenci"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="polish").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "studenta",
+                    k=40, precision="float64"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4423,7 +4552,7 @@ _PRIORITY: list[str] = [
     # gate is registered, displacing canaries off the end of the window --
     "catalan_search", "thai_search", "surround_query", "smartcn_search",
     "pack_sequences", "wikipedia_markup", "icu_transform",
-    "japanese_search",
+    "japanese_search", "embedding_neardup", "polish_search",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots

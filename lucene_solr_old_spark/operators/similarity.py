@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["cosine_topk", "cosine_score_col", "srp_planes", "lsh_buckets",
            "ann_search", "assign_clusters", "kmeans_fit", "ivf_search",
-           "index_vectors"]
+           "index_vectors", "embedding_neardup_pairs"]
 
 
 def cosine_score_col(vec_col, query: list[float]):
@@ -276,3 +276,47 @@ def ivf_search(emb: DataFrame, query: list[float],
                                  round_digits)
         cands = emb.join(assign.where(F.col("cid").isin(probes)), id_col)
     return cosine_topk(cands, query, k, id_col, vec_col)
+
+
+def _pairwise_cosine(va, vb):
+    """cosine(va, vb) for two array columns (float64 Catalyst expr)."""
+    dot = F.aggregate(F.zip_with(va, vb,
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(F.transform(va, lambda x: x.cast("double") * x),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    nb = F.aggregate(F.transform(vb, lambda x: x.cast("double") * x),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def embedding_neardup_pairs(emb: DataFrame, dim: int,
+                            threshold: float = 0.9, n_planes: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs: (a, b, cos)
+    with a < b, same SRP-LSH bucket, cosine >= threshold.
+
+    The missing sibling of the MinHash/SimHash text dedup family for
+    embedded corpora: candidate generation is a bucket EQUI-JOIN (never
+    all-pairs — corpus/2^n_planes rows per bucket meet each other), and
+    the exact cosine runs only inside buckets.  At 10^12 vectors pick
+    n_planes so the expected bucket size keeps the per-bucket join
+    quadratic term bounded (the same banded-join shape as
+    minhash_lsh_pairs; AQE's skew-join split handles hot buckets).
+    Recall follows SRP-LSH: a pair at cosine angle θ collides with
+    probability (1 - θ/π)^n_planes — raise recall by unioning
+    rotated-plane repetitions if needed.  Feed the pairs to
+    dedup.dup_components for cluster collapse."""
+    b = lsh_buckets(emb, dim, n_planes, id_col, vec_col)
+    withb = emb.select(F.col(id_col), F.col(vec_col)).join(b, id_col)
+    left = withb.select(F.col(id_col).alias("a"),
+                        F.col(vec_col).alias("_va"), "bucket")
+    right = withb.select(F.col(id_col).alias("b"),
+                         F.col(vec_col).alias("_vb"), "bucket")
+    cos = _pairwise_cosine(F.col("_va"), F.col("_vb"))
+    return (left.join(right, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", F.round(cos, 6).alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .orderBy("a", "b"))

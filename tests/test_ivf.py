@@ -132,3 +132,37 @@ def test_kmeans_fit_dim_robust(spark):
     counts = {r["cid"]: r["n"] for r in
               a.groupBy("cid").agg(F.count("*").alias("n")).collect()}
     assert sorted(counts.values()) == [15, 15]
+
+
+def test_embedding_neardup_pairs(spark):
+    from lucene_solr_old_spark.operators.similarity import \
+        embedding_neardup_pairs
+
+    # 0/1 duplicates (exact + scaled), 2/3 near-orthogonal noise
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.2]),
+        (1, [2.0, 0.0, 1.0, 0.4]),     # 0 scaled x2 -> cos 1.0
+        (2, [-1.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, -1.0, 1.0, -0.3]),
+        (4, [1.0, 0.01, 0.5, 0.2]),    # near-dup of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["a"], r["b"]): r["cos"]
+           for r in embedding_neardup_pairs(emb, dim=4, threshold=0.99,
+                                            n_planes=4).collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 4) in got and got[(0, 4)] > 0.99
+    assert all(a < b for a, b in got)
+    assert not any({2, 3} & {a, b} for a, b in got)
+
+
+def test_embedding_neardup_is_bucket_join_not_cartesian(spark):
+    from lucene_solr_old_spark.operators.similarity import \
+        embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0] * 8) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    plan = embedding_neardup_pairs(emb, dim=8, threshold=0.9)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan  # candidate gen is the bucket equi-join
