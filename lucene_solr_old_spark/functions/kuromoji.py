@@ -34,7 +34,8 @@ from .tokenizer import Token
 
 __all__ = ["JA_STOP_TAGS", "JA_STOP_WORDS", "DEFAULT_JA_DICT",
            "JaToken", "japanese_tokenize", "japanese_analyze",
-           "make_japanese_analyzer", "katakana_stem"]
+           "make_japanese_analyzer", "katakana_stem",
+           "iteration_mark_normalize"]
 
 JA_STOP_TAGS = frozenset(["助詞", "助動詞", "記号"])
 
@@ -290,3 +291,79 @@ def _register():
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# JapaneseIterationMarkCharFilter
+# ---------------------------------------------------------------------------
+
+_H_BASE = "かきくけこさしすせそたちつてとはひふへほ"
+_H_VOICED = {c: chr(ord(c) + 1) for c in _H_BASE}
+_H_VOICED.update({chr(ord(c) + 1): chr(ord(c) + 1) for c in _H_BASE})
+_H_DAKUTEN = frozenset(chr(ord(c) + 1) for c in _H_BASE)
+_K_VOICED = {chr(ord(k) + 0x60): chr(ord(v) + 0x60)
+             for k, v in _H_VOICED.items()}
+_K_DAKUTEN = frozenset(chr(ord(c) + 0x60) for c in _H_DAKUTEN)
+
+_KANJI_MARK = "々"            # 々
+_H_MARKS = "ゝゞ"         # ゝ ゞ
+_K_MARKS = "ヽヾ"         # ヽ ヾ
+_FULL_STOP = "。"             # 。
+
+
+def iteration_mark_normalize(text: str, normalize_kanji: bool = True,
+                             normalize_kana: bool = True) -> str:
+    """JapaneseIterationMarkCharFilter (ja/JapaneseIterationMarkCharFilter
+    .java:233-320): a run of N iteration marks repeats the N characters
+    before the run, each mark voicing (ゞ/ヾ) or devoicing (ゝ/ヽ) its
+    source; 々 copies a kanji verbatim.  Span rules are exact: runs are
+    clipped so the source never crosses a previous span or the stream
+    start, a span starting where the previous ended is illegal (marks
+    emitted as-is, end position advanced), and 。 closes spans.  Source
+    characters always come from the ORIGINAL text."""
+    def is_mark(c: str) -> bool:
+        if normalize_kanji and c == _KANJI_MARK:
+            return True
+        return normalize_kana and (c in _H_MARKS or c in _K_MARKS)
+
+    def norm(src: str, mark: str) -> str:
+        if mark == "ゝ":    # ゝ devoice
+            return chr(ord(src) - 1) if src in _H_DAKUTEN else src
+        if mark == "ゞ":    # ゞ voice
+            return _H_VOICED.get(src, src)
+        if mark == "ヽ":    # ヽ
+            return chr(ord(src) - 1) if src in _K_DAKUTEN else src
+        if mark == "ヾ":    # ヾ
+            return _K_VOICED.get(src, src)
+        return src              # 々 kanji: copy verbatim
+
+    out = []
+    span_end = 0      # iterationMarkSpanEndPosition
+    span_size = 0     # iterationMarksSpanSize
+    n = len(text)
+    for pos, c in enumerate(text):
+        if c == _FULL_STOP:
+            span_end = pos + 1
+            out.append(c)
+            continue
+        if not is_mark(c):
+            out.append(c)
+            continue
+        if pos < span_end:                       # inside current span
+            out.append(norm(text[pos - span_size], c))
+        elif pos == span_end:                    # illegal restart
+            span_end += 1
+            out.append(c)
+        else:                                    # new span
+            size = 0
+            while pos + size < n and is_mark(text[pos + size]):
+                size += 1
+            if pos - size < span_end:
+                size = pos - span_end
+            span_size = size
+            span_end = pos + size
+            if size <= 0:
+                out.append(c)
+            else:
+                out.append(norm(text[pos - size], c))
+    return "".join(out)

@@ -4402,9 +4402,9 @@ def _neardup_sql(n_planes: int = 8) -> str:
 WITH emb2 AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000, embedding FROM embeddings WHERE vec_id < 25
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25
   UNION ALL
-  SELECT vec_id + 1000, list_transform(embedding, x -> x * 2.0)
+  SELECT vec_id + 1000000, list_transform(embedding, x -> x * 2.0)
   FROM embeddings WHERE vec_id >= 25 AND vec_id < 50),
 p AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
              generate_subscripts(embedding, 1) AS i
@@ -4430,14 +4430,18 @@ def _q_embedding_neardup(spark, sf_dir):
     # generation + exact cosine inside buckets (the embedded-corpus
     # sibling of minhash_lsh_pairs).  25 exact + 25 scaled (x2 —
     # cosine/bucket invariant) duplicate vectors are injected on both
-    # sides; only those 50 pairs clear the 0.9 threshold.
+    # sides; only those 50 pairs clear the 0.9 threshold.  The +1000000
+    # id offset keeps injected ids collision-free at EVERY sf (at sf0.1
+    # a +1000 offset collided with real ids and the oracle's per-id
+    # bucket GROUP BY merged the two vectors — caught by the sf0.1
+    # spot-sweep, same lesson as r3's rescore_query).
     from .operators.similarity import embedding_neardup_pairs
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     dups = (emb.where(F.col("vec_id") < 25)
-            .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+            .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
     scaled = (emb.where((F.col("vec_id") >= 25) & (F.col("vec_id") < 50))
-              .select((F.col("vec_id") + 1000).alias("vec_id"),
+              .select((F.col("vec_id") + 1000000).alias("vec_id"),
                       F.transform("embedding",
                                   lambda x: x.cast("double") * 2.0)
                       .cast("array<float>").alias("embedding")))

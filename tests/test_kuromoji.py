@@ -100,3 +100,34 @@ def test_custom_dictionary():
 def test_registered():
     assert [t.term for t in get_analyzer("japanese")("お寿司が食べたい")] \
         is not None  # runs without error; お is unknown single char
+
+
+def test_iteration_marks():
+    # TestJapaneseIterationMarkCharFilter goldens (keyword-analyzer level
+    # = the raw char-filter output)
+    from lucene_solr_old_spark.functions.kuromoji import \
+        iteration_mark_normalize as f
+
+    assert f("時々") == "時時"
+    assert f("馬鹿々々しい") == "馬鹿馬鹿しい"
+    assert f("ミスヾ") == "ミスズ"
+    assert f("おゝの") == "おおの"
+    assert f("みすゞ") == "みすず"
+    assert f("じゞ") == "じじ"
+    assert f("じゝ") == "じし"
+    assert f("ところゞゝゝ") == "ところどころ"
+    # malformed inputs emit as-is where iteration is impossible
+    assert f("abcところゝゝゝゝ") == "abcところcところ"
+    assert f("abcところゞゝゝゝ") == "abcところcところ"
+    assert f("ところゞゝゝゞゝゞ") == "ところどころゞゝゞ"
+    assert f("々") == "々"
+    assert f("ゞ") == "ゞ"
+    assert f("ゞゝ") == "ゞゝ"
+
+
+def test_iteration_marks_flags():
+    from lucene_solr_old_spark.functions.kuromoji import \
+        iteration_mark_normalize as f
+
+    assert f("時々", normalize_kanji=False) == "時々"
+    assert f("みすゞ", normalize_kana=False) == "みすゞ"
