@@ -49,7 +49,7 @@ THAI_LEXICON = frozenset(THAI_STOP_WORDS | {
     "ผู้ชาย", "เวลา", "ปี", "เดือน", "สวย", "ใหญ่", "เล็ก", "ใหม่",
     "เก่า", "ร้าน", "ตลาด", "เงิน", "ซื้อ", "ขาย", "พูด", "ฟัง", "อ่าน",
     "เขียน", "เรียน", "สอน", "ทำ", "มือ", "ใจ", "ตา", "หัว", "รู้",
-    "คิด", "ใช้", "อยู่ที่", "๑๒๓",
+    "คิด", "ใช้", "อยู่ที่", "๑๒๓", "เธอ", "ไหน",
 })
 
 _THAI_RANGE = (0x0E00, 0x0E7F)

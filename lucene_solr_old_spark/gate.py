@@ -4522,6 +4522,52 @@ def _q_polish(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+# ---- ICUTokenizer composite segmentation -----------------------------------
+
+# (qid, text, expected tokens post-nfkc_cf) — TestICUTokenizer's own
+# goldens; the oracle carries the literal expected streams.
+_ICUTOK_CASES = [
+    (0, "การที่ได้ต้องแสดงว่างานดี. แล้วเธอจะไปไหน? ๑๒๓๔",
+     ["การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี",
+      "แล้ว", "เธอ", "จะ", "ไป", "ไหน", "๑๒๓๔"]),
+    (1, "ກວ່າດອກ", ["ກວ່າ", "ດອກ"]),
+    (2, "我是中国人。 １２３４ Ｔｅｓｔｓ ",
+     ["我", "是", "中", "国", "人", "1234", "tests"]),
+    (3, "Վիքիպեդիայի 13 միլիոն (4,600` հայերեն)",
+     ["վիքիպեդիայի", "13", "միլիոն", "4,600", "հայերեն"]),
+    (4, "এই বিশ্বকোষ পরিচালনা করে",
+     ["এই", "বিশ্বকোষ", "পরিচালনা", "করে"]),
+]
+
+
+@_reg("icu_tokenize", """
+SELECT * FROM (VALUES """ + ",".join(
+    f"({q}::INT, {i}::INT, '{t}')"
+    for q, _txt, exp in _ICUTOK_CASES for i, t in enumerate(exp)) + """)
+AS t(qid, ord, term) ORDER BY qid, ord""")
+def _q_icu_tokenize(spark, sf_dir):
+    # ICUTokenizer analogue (analysis/icu/segmentation/): script-run
+    # composite break iterator (Thai/Lao dictionary, per-ideograph Han,
+    # mark-gluing UAX#29 scanner) + nfkc_cf, distributed via mapInPandas
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(q, t) for q, t, _e in _ICUTOK_CASES], "qid int, text string")
+
+    def run(batches):
+        from lucene_solr_old_spark.functions.icu2 import icu_normalize
+        from lucene_solr_old_spark.functions.icu_segment import icu_tokenize
+        for b in batches:
+            rows = []
+            for q, t in zip(b["qid"], b["text"]):
+                for i, (term, _s, _e) in enumerate(icu_tokenize(t)):
+                    rows.append((int(q), i, icu_normalize(term)))
+            yield pd.DataFrame(rows, columns=["qid", "ord", "term"])
+
+    return df.repartition(3).mapInPandas(
+        run, "qid int, ord int, term string").orderBy("qid", "ord")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4557,6 +4603,7 @@ _PRIORITY: list[str] = [
     "catalan_search", "thai_search", "surround_query", "smartcn_search",
     "pack_sequences", "wikipedia_markup", "icu_transform",
     "japanese_search", "embedding_neardup", "polish_search",
+    "icu_tokenize",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots
