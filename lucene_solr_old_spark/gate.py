@@ -4568,6 +4568,54 @@ def _q_icu_tokenize(spark, sf_dir):
         run, "qid int, ord int, term string").orderBy("qid", "ord")
 
 
+# ---- n-gram LM perplexity (CCNet-style quality filter) ---------------------
+
+@_reg("lm_perplexity", """
+WITH toks AS (
+  SELECT doc_id, i AS pos, w
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w,
+               generate_subscripts(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> ''), 1) AS i
+        FROM documents)),
+pairs AS (
+  SELECT doc_id, w1, w AS w2
+  FROM (SELECT doc_id, w,
+               lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM toks)
+  WHERE w1 IS NOT NULL),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+big AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+nt AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+              THEN b.c::DOUBLE / u1.c
+              ELSE 0.4 * coalesce(u2.c, 1)::DOUBLE / (SELECT n FROM nt)
+         END AS p
+  FROM pairs p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u1 ON u1.w = p.w1
+  LEFT JOIN uni u2 ON u2.w = p.w2)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(exp(avg(-ln(p))), 4) AS ppl
+FROM sc GROUP BY doc_id ORDER BY doc_id""")
+def _q_lm_perplexity(spark, sf_dir):
+    # stupid-backoff bigram LM perplexity (the CCNet quality-filter
+    # shape): train on the corpus itself, score every doc — one window
+    # lag + three relational joins, no UDFs, no collect beyond the
+    # single N scalar
+    from .operators.lm import build_lm_table, score_perplexity
+
+    docs = _docs(spark, sf_dir)
+    uni, big = build_lm_table(docs)
+    return (score_perplexity(docs, uni, big)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    "n_bigrams", F.round("ppl", 4).alias("ppl"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4603,7 +4651,7 @@ _PRIORITY: list[str] = [
     "catalan_search", "thai_search", "surround_query", "smartcn_search",
     "pack_sequences", "wikipedia_markup", "icu_transform",
     "japanese_search", "embedding_neardup", "polish_search",
-    "icu_tokenize",
+    "icu_tokenize", "lm_perplexity",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots
