@@ -4616,6 +4616,33 @@ def _q_lm_perplexity(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# ---- exact substring duplication spans -------------------------------------
+
+@_reg("substring_dedup", f"""WITH {_PRELUDE},
+g AS (
+  SELECT doc_id, pos AS start,
+         md5(term || ' ' || lead(term, 1) OVER w || ' ' ||
+             lead(term, 2) OVER w) AS gram_hash
+  FROM raw
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, 2) OVER w IS NOT NULL),
+c AS (SELECT gram_hash, count(*) AS n_occurrences
+      FROM g GROUP BY gram_hash HAVING count(*) >= 2)
+SELECT g.doc_id, g.start, g.gram_hash, c.n_occurrences
+FROM g JOIN c USING (gram_hash)
+ORDER BY doc_id, start, gram_hash""")
+def _q_substring_dedup(spark, sf_dir):
+    # exact substring duplication spans (Lee et al. 2022): every n-token
+    # window whose exact text recurs corpus-wide; window assembly is
+    # partition-local, the hash groupBy is the only wide op
+    from .operators.dedup import duplicate_ngram_spans
+
+    return (duplicate_ngram_spans(_docs(spark, sf_dir), n=3)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    "start", "gram_hash", "n_occurrences")
+            .orderBy("doc_id", "start", "gram_hash"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4651,7 +4678,7 @@ _PRIORITY: list[str] = [
     "catalan_search", "thai_search", "surround_query", "smartcn_search",
     "pack_sequences", "wikipedia_markup", "icu_transform",
     "japanese_search", "embedding_neardup", "polish_search",
-    "icu_tokenize", "lm_perplexity",
+    "icu_tokenize", "lm_perplexity", "substring_dedup",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots

@@ -28,7 +28,7 @@ __all__ = [
     "ws_tokens", "exact_dedup_groups", "shingles", "minhash_signatures",
     "lsh_candidate_pairs", "simhash", "simhash_candidate_pairs",
     "ngram_jaccard_pairs", "connected_components", "dup_representatives",
-    "decontaminate",
+    "decontaminate", "duplicate_ngram_spans",
 ]
 
 
@@ -321,3 +321,42 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                     F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"))
             .withColumn("contaminated",
                         F.col("n_overlaps") >= min_overlap))
+
+
+def duplicate_ngram_spans(docs: DataFrame, n: int = 50,
+                          key_col: str = "doc_id",
+                          text_col: str = "text",
+                          min_count: int = 2) -> DataFrame:
+    """Exact substring duplication spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": flag
+    every length-``n`` token window whose exact text recurs in the
+    corpus; the published pipelines drop or cut those spans before
+    training).
+
+    (key, start, gram_hash, n_occurrences) for every n-token window
+    whose md5 occurs >= ``min_count`` times corpus-wide (including
+    within one document).
+
+    Plan: sliding windows via a partition-local frame (collect_list
+    over ROWS BETWEEN CURRENT AND n-1), md5 per window, ONE groupBy on
+    the hash for global counts, and a semi-join back — the same
+    banded-shuffle shape as the MinHash pipeline.  At 100 TB the only
+    wide operation is the hash groupBy; window assembly never leaves
+    the document's partition.  Callers usually feed the spans to a
+    cutter (drop the repeated region) or drop whole documents above a
+    duplicated-token ratio."""
+    from pyspark.sql import Window
+
+    toks = ws_tokens(docs, key_col, text_col)
+    w = (Window.partitionBy("key").orderBy("pos")
+         .rowsBetween(Window.currentRow, n - 1))
+    grams = (toks
+             .withColumn("win", F.collect_list("term").over(w))
+             .where(F.size("win") == n)
+             .select("key", F.col("pos").alias("start"),
+                     F.md5(F.concat_ws(" ", "win")).alias("gram_hash")))
+    counts = (grams.groupBy("gram_hash")
+              .agg(F.count("*").alias("n_occurrences"))
+              .where(F.col("n_occurrences") >= min_count))
+    return (grams.join(counts, "gram_hash")
+            .select("key", "start", "gram_hash", "n_occurrences"))

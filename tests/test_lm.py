@@ -56,3 +56,33 @@ def test_plan_is_relational_no_python(spark):
     plan = score_perplexity(_docs(spark, ["a b"]), uni, big)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- exact substring duplication spans (operators/dedup.py) ----------------
+
+def test_duplicate_ngram_spans_semantics(spark):
+    from lucene_solr_old_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = _docs(spark, ["a b c d e", "x y a b c", "p q r s t"])
+    got = sorted((r["key"], r["start"], r["n_occurrences"])
+                 for r in duplicate_ngram_spans(docs, n=3).collect())
+    # only "a b c" recurs (doc0 @0, doc1 @2)
+    assert got == [(0, 0, 2), (1, 2, 2)]
+
+
+def test_duplicate_ngram_spans_within_doc(spark):
+    from lucene_solr_old_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = _docs(spark, ["a b a b a b"])
+    got = duplicate_ngram_spans(docs, n=4).collect()
+    # "a b a b" at 0 and 2 (same doc) -> both flagged
+    assert sorted(r["start"] for r in got) == [0, 2]
+
+
+def test_duplicate_ngram_spans_plan(spark):
+    from lucene_solr_old_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = _docs(spark, ["a b c d e"])
+    plan = duplicate_ngram_spans(docs, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
