@@ -4643,6 +4643,40 @@ def _q_substring_dedup(spark, sf_dir):
             .orderBy("doc_id", "start", "gram_hash"))
 
 
+# ---- overlapping passage chunking ------------------------------------------
+
+@_reg("chunk_documents", """
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, w
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS w,
+               generate_subscripts(list_filter(string_split(text, ' '),
+                                               x -> x <> ''), 1) AS i
+        FROM documents)),
+owned AS (
+  SELECT t.doc_id, t.pos, t.w, c.chunk_id
+  FROM toks t,
+       LATERAL (SELECT unnest(range(
+                  greatest(0, cast(ceil((t.pos - 16 + 1) / 12.0) AS INT)),
+                  cast(floor(t.pos / 12) AS INT) + 1)) AS chunk_id) c)
+SELECT doc_id, chunk_id, count(*) AS n_tokens,
+       string_agg(w, ' ' ORDER BY pos) AS chunk_text
+FROM owned GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id""")
+def _q_chunk_documents(spark, sf_dir):
+    # overlapping passage chunks (chunk=16 tokens, overlap=4, stride 12)
+    # — per-token owning-chunk explode + one groupBy, no windows
+    from .operators.packing import chunk_documents
+
+    return (chunk_documents(_docs(spark, sf_dir), chunk_tokens=16,
+                            overlap=4)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("chunk_id").cast("long").alias("chunk_id"),
+                    "n_tokens", "chunk_text")
+            .orderBy("doc_id", "chunk_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4679,6 +4713,7 @@ _PRIORITY: list[str] = [
     "pack_sequences", "wikipedia_markup", "icu_transform",
     "japanese_search", "embedding_neardup", "polish_search",
     "icu_tokenize", "lm_perplexity", "substring_dedup",
+    "chunk_documents",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots

@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pack_sequences", "pack_sequences_stable"]
+__all__ = ["pack_sequences", "pack_sequences_stable",
+           "chunk_documents"]
 
 
 def pack_sequences(docs: DataFrame, max_tokens: int,
@@ -160,3 +161,48 @@ def pack_sequences_stable(docs: DataFrame, max_tokens: int,
         pack,
         "seq_id string, doc_ids array<string>, n_docs long, "
         "total_tokens long, oversize boolean")
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 256,
+                    overlap: int = 0, key_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping fixed-token passage chunks — the embedding/RAG
+    pipeline step between cleaning and vectorization.
+
+    Chunk ``c`` of a document covers token positions
+    ``[c*stride, c*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final partial chunk is
+    kept.  Returns (key, chunk_id, n_tokens, chunk_text) with
+    whitespace tokens rejoined.
+
+    Plan: tokens never leave their document's rows — each token
+    computes its (small, bounded by ceil(chunk/stride)) set of owning
+    chunk ids as an array and explodes it, then ONE groupBy on
+    (key, chunk_id) reassembles chunks with sort_array over (pos,
+    token) structs.  No window functions, no shuffle beyond the single
+    chunk groupBy; at 100 TB this is the same one-exchange shape as the
+    inversion build."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.filter(F.split(F.col(text_col), " "),
+                              lambda x: x != F.lit(""))).alias("pos", "w"))
+    # owning chunks: ceil((pos - chunk + 1)/stride) <= c <= pos // stride
+    lo = F.greatest(
+        F.lit(0),
+        F.ceil((F.col("pos") - chunk_tokens + 1) / F.lit(stride)))
+    hi = F.floor(F.col("pos") / F.lit(stride))
+    owned = toks.select(
+        "key", "pos", "w",
+        F.explode(F.sequence(lo.cast("int"), hi.cast("int")))
+        .alias("chunk_id"))
+    return (owned.groupBy("key", "chunk_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("pos", "w"))),
+                         lambda s: s["w"]),
+                     " ").alias("chunk_text")))

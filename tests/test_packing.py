@@ -123,3 +123,41 @@ def test_stable_pack_single_exchange_plan(spark):
     plan = pack_sequences_stable(docs, 100)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# ---- overlapping passage chunking -------------------------------------------
+
+def test_chunk_documents_overlap(spark):
+    from lucene_solr_old_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id long, text string")
+    rows = {r["chunk_id"]: r for r in
+            chunk_documents(docs, chunk_tokens=4, overlap=2).collect()}
+    # stride 2: chunks at 0,2,4,6,8 — last one partial
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w2 w3 w4 w5"
+    assert rows[4]["chunk_text"] == "w8 w9"
+    assert rows[4]["n_tokens"] == 2
+
+
+def test_chunk_documents_no_overlap(spark):
+    from lucene_solr_old_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string")
+    rows = sorted((r["chunk_id"], r["chunk_text"]) for r in
+                  chunk_documents(docs, chunk_tokens=2).collect())
+    assert rows == [(0, "a b"), (1, "c d"), (2, "e")]
+
+
+def test_chunk_documents_bad_overlap_raises(spark):
+    import pytest
+
+    from lucene_solr_old_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
