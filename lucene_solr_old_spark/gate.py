@@ -4677,6 +4677,85 @@ def _q_chunk_documents(spark, sf_dir):
             .orderBy("doc_id", "chunk_id"))
 
 
+# ---- benchmark content-source readers --------------------------------------
+
+_TREC_FIXTURE = """<DOC>
+<DOCNO> WTX001-B01-1 </DOCNO>
+<DOCHDR>
+http://example.com/a
+HTTP/1.1 200 OK
+</DOCHDR>
+alpha beta gamma
+</DOC>
+<DOC>
+<DOCNO>PLAIN-2</DOCNO>
+delta epsilon
+</DOC>
+"""
+_LINE_FIXTURE = ("# comment header\n"
+                 "Title One\t20260101\tbody one text\n"
+                 "Title Two\t20260102\tbody two text\n")
+_ENWIKI_FIXTURE = """<mediawiki>
+<page>
+<title>Alpha</title>
+<id>11</id>
+<revision><id>99</id><text xml:space="preserve">alpha
+body</text></revision>
+</page>
+<page>
+<title>Image:Skip me</title>
+<id>12</id>
+<revision><text>img</text></revision>
+</page>
+<page>
+<title>Beta</title>
+<id>13</id>
+<revision><text>beta body</text></revision>
+</page>
+</mediawiki>
+"""
+
+
+@_reg("content_sources", """
+SELECT * FROM (VALUES
+  ('WTX001-B01-1', 'http://example.com/a', 'alpha beta gamma'),
+  ('PLAIN-2', NULL, 'delta epsilon'),
+  ('Title One', '20260101', 'body one text'),
+  ('Title Two', '20260102', 'body two text'),
+  ('11', 'Alpha', 'alpha body'),
+  ('13', 'Beta', 'beta body'))
+AS t(f1, f2, f3) ORDER BY f1""")
+def _q_content_sources(spark, sf_dir):
+    # LineDocSource / TrecContentSource(+GOV2 DOCHDR) / EnwikiContentSource
+    # as Catalyst-only text readers; expected rows are the fixtures'
+    # hand-derived parses
+    import os
+    import tempfile
+
+    from .sources.readers import read_enwiki, read_line_docs, read_trec
+
+    d = tempfile.mkdtemp(prefix="sources-gate-")
+    for name, content in [("f.trec", _TREC_FIXTURE),
+                          ("f.line", _LINE_FIXTURE),
+                          ("f.xml", _ENWIKI_FIXTURE)]:
+        with open(os.path.join(d, name), "w") as fh:
+            fh.write(content)
+    trec = (read_trec(spark, os.path.join(d, "f.trec"))
+            .select("docno", F.col("url").alias("a"),
+                    F.col("body").alias("b")))
+    line = (read_line_docs(spark, os.path.join(d, "f.line"))
+            .select(F.col("title").alias("docno"),
+                    F.col("date").alias("a"), F.col("body").alias("b")))
+    wiki = (read_enwiki(spark, os.path.join(d, "f.xml"))
+            .select(F.col("id").cast("string").alias("docno"),
+                    F.col("title").alias("a"),
+                    F.trim(F.regexp_replace("body", " +", " ")).alias("b")))
+    return (trec.unionByName(line).unionByName(wiki)
+            .select(F.col("docno").alias("f1"), F.col("a").alias("f2"),
+                    F.col("b").alias("f3"))
+            .orderBy("f1"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4713,7 +4792,7 @@ _PRIORITY: list[str] = [
     "pack_sequences", "wikipedia_markup", "icu_transform",
     "japanese_search", "embedding_neardup", "polish_search",
     "icu_tokenize", "lm_perplexity", "substring_dedup",
-    "chunk_documents",
+    "chunk_documents", "content_sources",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots
