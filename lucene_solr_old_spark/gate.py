@@ -4756,6 +4756,49 @@ def _q_content_sources(spark, sf_dir):
             .orderBy("f1"))
 
 
+# ---- Solr minimum-should-match SPEC ----------------------------------------
+
+# (n, spec, expected) — SolrPluginUtilsTest.testMinShouldMatchCalculator
+_MM_CASES = [
+    (5, "0", 0), (5, "0%", 0), (5, "-5", 0), (5, "-100%", 0),
+    (5, "3", 3), (5, "-3", 2), (3, "3", 3), (3, "-3", 0),
+    (3, "5", 3), (3, "-5", 0), (3, "25%", 0), (4, "25%", 1),
+    (5, "25%", 1), (10, "25%", 2), (3, "-25%", 3), (4, "-25%", 3),
+    (5, "-25%", 4), (10, "-25%", 8), (3, "3<0", 3), (4, "3<0", 0),
+    (3, "3<25%", 3), (4, "3<25%", 1),
+    (4, "3<-25% 10<-3", 3), (6, "3<-25% 10<-3", 5),
+    (11, "3<-25% 10<-3", 8), (100, "3<-25% 10<-3", 97),
+]
+
+
+@_reg("mm_spec", """
+SELECT * FROM (VALUES """ + ",".join(
+    f"({i}::INT, {exp}::INT)"
+    for i, (_n, _s, exp) in enumerate(_MM_CASES)) + """)
+AS t(cid, msm) ORDER BY cid""")
+def _q_mm_spec(spark, sf_dir):
+    # Solr mm SPEC calculator (SolrPluginUtils.calculateMinShouldMatch)
+    # evaluated distributed; expected values are the reference's own
+    # test fixtures
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(i, n, s) for i, (n, s, _e) in enumerate(_MM_CASES)],
+        "cid int, n int, spec string")
+
+    def run(batches):
+        from lucene_solr_old_spark.operators.multifield import \
+            calculate_min_should_match
+        for b in batches:
+            yield pd.DataFrame(
+                {"cid": [int(c) for c in b["cid"]],
+                 "msm": [calculate_min_should_match(int(n), s)
+                         for n, s in zip(b["n"], b["spec"])]})
+
+    return df.repartition(3).mapInPandas(
+        run, "cid int, msm int").orderBy("cid")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window ordering
 # ---------------------------------------------------------------------------
@@ -4792,7 +4835,7 @@ _PRIORITY: list[str] = [
     "pack_sequences", "wikipedia_markup", "icu_transform",
     "japanese_search", "embedding_neardup", "polish_search",
     "icu_tokenize", "lm_perplexity", "substring_dedup",
-    "chunk_documents", "content_sources",
+    "chunk_documents", "content_sources", "mm_spec",
     # -- canaries: r2-green gates covering every major family (scoring,
     # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
     # regressions in long-stable code still surface; these are the slots

@@ -24,7 +24,49 @@ from .search import term_score_frame
 from ..functions.tokenizer import get_analyzer
 
 __all__ = ["MultiFieldIndex", "build_multifield_index", "search_fielded",
-           "search_edismax", "masked_span_query"]
+           "search_edismax", "masked_span_query",
+           "calculate_min_should_match"]
+
+
+def calculate_min_should_match(optional_clause_count: int,
+                               spec: str) -> int:
+    """Solr's minimum-should-match SPEC calculator
+    (``solr/core/src/java/org/apache/solr/util/SolrPluginUtils.java:551``,
+    ``calculateMinShouldMatch``): plain int, negative int (n - x),
+    percentage with truncation toward zero, negative percentage, and
+    space-separated conditionals ``upper<value`` evaluated left to
+    right (the FIRST condition with n <= upper returns the running
+    result; later conditions recompute it).
+
+    One documented deviation: conditionals split on ANY whitespace.
+    The reference splits on a single space (``spacePattern``), which
+    makes its own test fixtures (" 3 < -25% \\n 10 < -3 ") throw
+    NumberFormatException on the stray "\\n" token — verified against
+    the compiled reference method; every fixture value in
+    SolrPluginUtilsTest.testMinShouldMatchCalculator holds under the
+    any-whitespace split."""
+    result = optional_clause_count
+    spec = spec.strip()
+    if "<" in spec:
+        spec = re.sub(r"(\s+<\s*)|(\s*<\s+)", "<", spec)
+        for s in spec.split():
+            parts = s.split("<")
+            upper = int(parts[0])
+            if optional_clause_count <= upper:
+                return result
+            result = calculate_min_should_match(optional_clause_count,
+                                                parts[1])
+        return result
+    if "%" in spec:
+        percent = int(spec[:spec.index("%")])
+        calc = result * percent / 100.0
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(spec)
+        result = result + calc if calc < 0 else calc
+    if optional_clause_count < result:
+        return optional_clause_count
+    return result if result >= 0 else 0
 
 
 class MultiFieldIndex:
@@ -107,19 +149,28 @@ def search_fielded(mfi: MultiFieldIndex, query: str, k: int = 10,
 
 def search_edismax(mfi: MultiFieldIndex, query_text: str,
                    qf: dict[str, float], tie: float = 0.0,
-                   mm: int = 0, k: int = 10,
-                   precision: str = "float32") -> DataFrame:
+                   mm: int | str = 0, k: int = 10,
+                   precision: str = "float32",
+                   pf: dict[str, float] | None = None) -> DataFrame:
     """ExtendedDisMax (``solr/core/src/java/org/apache/solr/search/
     ExtendedDismaxQParser.java``): each whitespace word of the user query
     becomes a DisjunctionMaxQuery across the ``qf`` fields (per-field
     analysis, per-field stats, per-field boost), clause score =
     max_field + tie * (sum - max); the clause dismaxes are summed, and
-    ``mm`` (minimum-should-match) requires that many clauses to hit.
+    ``mm`` (minimum-should-match) requires that many clauses to hit —
+    an int, or a Solr mm SPEC string ("75%", "-2", "3<-25% 10<-3")
+    resolved with :func:`calculate_min_should_match` against the number
+    of analyzed clauses.  ``pf`` (phrase fields, {field: boost}) adds
+    the whole analyzed query as a phrase boost per field: documents
+    already matching the main query gain the phrase score (the edismax
+    ``pf`` re-ranking — ``ExtendedDismaxQParser.getPhraseQuery``).
 
     Plan: per (clause, field) score frames keyed by doc key, ONE union ->
     groupBy(key, clause) computes the dismax -> groupBy(key) sums + counts
-    matched clauses.  Cross-field alignment happens on the shared doc key
-    (fields are sibling indexes over the same corpus).
+    matched clauses; pf adds a LEFT-joined phrase frame (main-query
+    matches keep their score when the phrase is absent).  Cross-field
+    alignment happens on the shared doc key (fields are sibling indexes
+    over the same corpus).
     """
     stype = "double" if precision == "float64" else "float"
     words = [w for w in query_text.split() if w]
@@ -154,8 +205,30 @@ def search_edismax(mfi: MultiFieldIndex, query_text: str,
     agg = per_clause.groupBy("key").agg(
         F.sum("cscore").cast(stype).alias("score"),
         F.count("*").alias("nmatched"))
-    if mm > 0:
-        agg = agg.where(F.col("nmatched") >= mm)
+    msm = (calculate_min_should_match(len(words), mm)
+           if isinstance(mm, str) else mm)
+    if msm > 0:
+        agg = agg.where(F.col("nmatched") >= msm)
+    if pf:
+        from . import search as _S
+        for fname, boost in pf.items():
+            idx = mfi.indexes.get(fname)
+            if idx is None:
+                continue
+            pterms = [t.term for t in get_analyzer(idx.analyzer)(query_text)]
+            if len(pterms) < 2:
+                continue
+            pframe = (_S.phrase_score_frame(idx, pterms, precision, boost)
+                      .join(idx.docmeta.select("seg", "docid", "key"),
+                            ["seg", "docid"])
+                      .groupBy("key")
+                      .agg(F.sum("score").alias("pscore")))
+            agg = (agg.join(pframe, "key", "left")
+                   .withColumn("score",
+                               (F.col("score")
+                                + F.coalesce(F.col("pscore"),
+                                             F.lit(0.0))).cast(stype))
+                   .drop("pscore"))
     return (agg.select("key", "score")
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(k))
