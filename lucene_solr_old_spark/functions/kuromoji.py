@@ -223,9 +223,6 @@ def japanese_tokenize(text: str, mode: str = "search",
                                t.start + len(compound_surface),
                                "名詞", None, pos_inc=0, pos_len=parts))
         k += 1
-        if compound_surface is not None:
-            # the re-emitted span's remaining parts follow normally
-            pass
     return out
 
 
