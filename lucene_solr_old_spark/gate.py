@@ -338,9 +338,7 @@ SELECT term, count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf
 FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 20""")
 def _q_terms(spark, sf_dir):
     idx = doc_index(spark, sf_dir)
-    return (idx.postings.groupBy("term")
-            .agg(F.sum("df").cast("long").alias("df"),
-                 F.sum("ttf").cast("long").alias("ttf"))
+    return (idx.terms_dict()
             .orderBy(F.desc("df"), F.asc("term")).limit(20))
 
 

@@ -50,6 +50,7 @@ class InvertedIndex:
     analyzer: str = "english"
     with_offsets: bool = False
     _stats: tuple | None = field(default=None, repr=False)
+    _terms_dict: DataFrame | None = field(default=None, repr=False)
 
     def collection_stats(self) -> tuple[int, int]:
         """(maxDoc, sumTotalTermFreq) over the whole index — global exact
@@ -61,22 +62,51 @@ class InvertedIndex:
             self._stats = (int(row["md"] or 0), int(row["st"] or 0))
         return self._stats
 
+    def terms_dict(self) -> DataFrame:
+        """(term, df, ttf) — the materialized GLOBAL term dictionary.
+
+        The reference precomputes its term dictionary at index time and
+        queries SEEK it (``codecs/BlockTreeTermsWriter.java:177-187``); this
+        is the Spark analogue: computed ONCE per index (the single
+        (seg,term)->term aggregation), persisted, and PROBED by every
+        multi-term expansion (fuzzy/wildcard/regexp/prefix/surround-trunc,
+        spellcheck, suggesters, MLT).  Without it each wildcard clause
+        re-aggregates the postings table — a full (seg,term) scan+shuffle
+        per clause at 100-TB scale.  ``save()`` writes it term-range-
+        partitioned so prefix/range probes prune parquet files via min/max
+        stats; ``load_index`` reads the stored table, so query plans over a
+        loaded index contain a plain parquet scan, no aggregate."""
+        if self._terms_dict is None:
+            self._terms_dict = (
+                self.postings.groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"),
+                     F.sum("ttf").cast("long").alias("ttf"))
+                .persist())
+        return self._terms_dict
+
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """Global (df, ttf) per term — the TermStatistics lookup
         (``search/TermStatistics.java``); small driver-side collect, exactly
-        like Lucene's term-dictionary seek before scoring."""
+        like Lucene's term-dictionary seek before scoring.  Probes the
+        materialized :meth:`terms_dict` when one exists (loaded or already
+        built); otherwise a term-pruned aggregate over postings — cheaper
+        than building the whole dictionary for a handful of terms."""
         if not terms:
             return {}
         if not hasattr(self, "_term_cache"):
             self._term_cache: dict[str, tuple[int, int]] = {}
         missing = [t for t in set(terms) if t not in self._term_cache]
         if missing:
-            rows = (
-                self.postings.where(F.col("term").isin(missing))
-                .groupBy("term")
-                .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-                .collect()
-            )
+            if self._terms_dict is not None:
+                rows = (self._terms_dict
+                        .where(F.col("term").isin(missing)).collect())
+            else:
+                rows = (
+                    self.postings.where(F.col("term").isin(missing))
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+                    .collect()
+                )
             found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
             for t in missing:
                 self._term_cache[t] = found.get(t, (0, 0))
@@ -99,6 +129,15 @@ class InvertedIndex:
         self.docmeta.write.mode(mode).partitionBy("seg").parquet(
             os.path.join(path, "docmeta"))
         self.segstats.write.mode(mode).parquet(os.path.join(path, "segstats"))
+        if mode == "overwrite":
+            # build-time term dictionary (BlockTreeTermsWriter analogue):
+            # term-range partitioned + sorted so a prefix/range probe reads
+            # only the files whose parquet min/max straddle the probe.  On
+            # append (incremental segments) the stored dict would go stale —
+            # the appender re-derives it lazily instead.
+            (self.terms_dict().repartitionByRange(4, "term")
+             .sortWithinPartitions("term")
+             .write.mode(mode).parquet(os.path.join(path, "terms_dict")))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "index_meta.json"), "w") as f:
             json.dump({"analyzer": self.analyzer,
@@ -114,13 +153,19 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    return InvertedIndex(
+    idx = InvertedIndex(
         postings=spark.read.parquet(os.path.join(path, "postings")),
         docmeta=spark.read.parquet(os.path.join(path, "docmeta")),
         segstats=spark.read.parquet(os.path.join(path, "segstats")),
         with_positions=meta["with_positions"],
         analyzer=meta["analyzer"],
     )
+    td_path = os.path.join(path, "terms_dict")
+    if os.path.isdir(td_path):
+        # stored term dictionary: expansions become parquet scans with
+        # min/max file pruning — no per-query postings aggregation.
+        idx._terms_dict = spark.read.parquet(td_path)
+    return idx
 
 
 def _posting_struct(with_positions: bool, with_offsets: bool = False):
@@ -355,5 +400,8 @@ def compress_index(index: InvertedIndex) -> InvertedIndex:
             })
 
     compressed = arrays.mapInPandas(encode_rows, schema=out_schema)
-    return InvertedIndex(compressed, index.docmeta, index.segstats,
-                         index.with_positions, index.analyzer)
+    out = InvertedIndex(compressed, index.docmeta, index.segstats,
+                        index.with_positions, index.analyzer)
+    # (seg,term,df,ttf) are unchanged by encoding — carry the dictionary
+    out._terms_dict = index._terms_dict
+    return out

@@ -40,8 +40,7 @@ def interesting_terms(index: InvertedIndex, key: str,
                  .select("seg", F.col("docid").alias("_d")), "seg")
            .where(F.col("p.docid") == F.col("_d"))
            .select("term", F.col("p.freq").alias("tf")))
-    gdf = index.postings.groupBy("term").agg(
-        F.sum("df").cast("long").alias("df"))
+    gdf = index.terms_dict().select("term", "df")
     cand = src.join(gdf, "term")
     if min_term_freq > 0:
         cand = cand.where(F.col("tf") >= min_term_freq)

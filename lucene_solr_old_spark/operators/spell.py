@@ -42,9 +42,9 @@ __all__ = ["spellcheck", "suggest_prefix", "term_range",
 
 
 def _global_terms(index: InvertedIndex) -> DataFrame:
-    return (index.postings.groupBy("term")
-            .agg(F.sum("df").cast("long").alias("df"),
-                 F.sum("ttf").cast("long").alias("ttf")))
+    # probe the materialized build-time dictionary (InvertedIndex.terms_dict;
+    # BlockTreeTermsWriter analogue) — never re-aggregate postings per query
+    return index.terms_dict()
 
 
 def spellcheck(index: InvertedIndex, word: str, max_edits: int = 2,

@@ -199,9 +199,12 @@ def _fuzzy_terms(index: InvertedIndex, clause: FuzzyClause) -> list[str]:
     defaults maxExpansions=50; ``search/TopTermsRewrite.java`` keeps the
     highest-boost = closest-distance candidates): rank dictionary candidates
     by (edit distance asc, term asc) and keep at most ``max_expansions``.
-    The ranked cap is a TakeOrderedAndProject over the term dictionary —
-    ≤50 rows reach the driver regardless of dictionary size."""
-    rows = (index.postings.select("term").distinct()
+    The ranked cap is a TakeOrderedAndProject over the MATERIALIZED term
+    dictionary (``InvertedIndex.terms_dict`` — the BlockTreeTermsWriter
+    seek analogue; stored with the segments, parquet-pruned) — ≤50 rows
+    reach the driver regardless of dictionary size, and no postings
+    aggregation appears in the query plan."""
+    rows = (index.terms_dict().select("term")
             .withColumn("dist",
                         F.levenshtein(F.col("term"), F.lit(clause.text)))
             .where(F.col("dist") <= clause.max_edits)
@@ -347,7 +350,7 @@ def complex_phrase_search(index: InvertedIndex, phrase: str, k: int = 10,
     for w in phrase.split():
         fm = _FUZZY_RE.match(w)
         if "*" in w or "?" in w:
-            rows = (index.postings.select("term").distinct()
+            rows = (index.terms_dict().select("term")
                     .where(F.col("term").rlike(_wildcard_regex(w.lower())))
                     .orderBy(F.asc("term"))
                     .limit(max_expansions)

@@ -358,14 +358,15 @@ def _trunc_regex(pattern: str) -> str:
 
 
 def _expand(index: InvertedIndex, node, budget: _Budget) -> list[str]:
-    """Dictionary expansion of a prefix/trunc node — a pushed-down scan of
-    the distinct-term dictionary, capped at the basic-query budget
-    (TakeOrdered over terms; never a doc scan)."""
+    """Dictionary expansion of a prefix/trunc node — a pushed-down probe of
+    the MATERIALIZED term dictionary (``InvertedIndex.terms_dict``), capped
+    at the basic-query budget (TakeOrdered over terms; never a doc scan,
+    never a postings aggregation)."""
     if node[0] == "prefix":
         pred = F.col("term").startswith(node[1].lower())
     else:
         pred = F.col("term").rlike(_trunc_regex(node[1].lower()))
-    rows = (index.postings.select("term").distinct().where(pred)
+    rows = (index.terms_dict().select("term").where(pred)
             .orderBy("term").limit(budget.limit + 1).collect())
     terms = [r["term"] for r in rows]
     budget.add(len(terms))
