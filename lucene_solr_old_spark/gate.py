@@ -3557,7 +3557,11 @@ def _fixture_stems(lang: str) -> dict:
             voc = z.read(f"{lang}/voc.txt").decode("utf-8").splitlines()
             out = z.read(f"{lang}/output.txt").decode("utf-8").splitlines()
         return {v.strip(): o.strip() for v, o in zip(voc, out) if v.strip()}
-    except OSError:
+    except (OSError, KeyError, zipfile.BadZipFile):
+        # missing checkout (OSError), missing language dir inside the zip
+        # (KeyError), corrupt zip (BadZipFile) — all degrade to the engine
+        # map; these run at gate.py IMPORT time via @_reg, so any other
+        # escape would break importing the module entirely.
         return {}
 
 
@@ -4645,19 +4649,24 @@ def _q_substring_dedup(spark, sf_dir):
 
 @_reg("chunk_documents", """
 WITH toks AS (
-  SELECT doc_id, i - 1 AS pos, w
+  SELECT doc_id, i - 1 AS pos, w, doc_len
   FROM (SELECT doc_id,
                unnest(list_filter(string_split(text, ' '),
                                   x -> x <> '')) AS w,
                generate_subscripts(list_filter(string_split(text, ' '),
-                                               x -> x <> ''), 1) AS i
+                                               x -> x <> ''), 1) AS i,
+               len(list_filter(string_split(text, ' '),
+                               x -> x <> '')) AS doc_len
         FROM documents)),
 owned AS (
   SELECT t.doc_id, t.pos, t.w, c.chunk_id
   FROM toks t,
        LATERAL (SELECT unnest(range(
                   greatest(0, cast(ceil((t.pos - 16 + 1) / 12.0) AS INT)),
-                  cast(floor(t.pos / 12) AS INT) + 1)) AS chunk_id) c)
+                  cast(floor(t.pos / 12) AS INT) + 1)) AS chunk_id) c
+  -- a trailing chunk adding no tokens beyond the previous chunk's
+  -- coverage (c*stride + overlap >= doc_len) is suppressed
+  WHERE c.chunk_id = 0 OR c.chunk_id * 12 + 4 < t.doc_len)
 SELECT doc_id, chunk_id, count(*) AS n_tokens,
        string_agg(w, ' ' ORDER BY pos) AS chunk_text
 FROM owned GROUP BY doc_id, chunk_id
@@ -4814,41 +4823,38 @@ def _q_mm_spec(spark, sf_dir):
 DRIVER_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # -- round-4 rotation (VERDICT r3 item 1): the 18 gates that have
-    # NEVER had a driver row (the documented r3 overflow) come first --
-    "complex_phrase", "parser_boost", "sweetspot_topk",
-    "join_util", "scale_query", "context_suggest",
-    "hash_sample", "mix_split", "trec_eval", "rescore_query",
-    "ivf_kmeans", "ivf_search", "snowball_search", "turkish_search",
-    "cjk_search", "path_facet", "soundex_search", "langid_multi",
-    # -- implementation changed since their last green row (VERDICT:
-    # more_like_this was rewritten in r3 after its r2 row; facet_field's
-    # NULL-bucket default changed in r3 after its r2 row) --
-    "more_like_this", "facet_field",
-    # -- r01-only rows, stale since (rotate back in for a fresh row) --
-    "batch_search", "highlight_snippet", "facet_pivot", "drill_sideways",
-    # -- new in round 4 (never certified): names are inserted here as each
-    # gate is registered, displacing canaries off the end of the window --
-    "catalan_search", "thai_search", "surround_query", "smartcn_search",
-    "pack_sequences", "wikipedia_markup", "icu_transform",
-    "japanese_search", "embedding_neardup", "polish_search",
-    "icu_tokenize", "lm_perplexity", "substring_dedup",
-    "chunk_documents", "content_sources", "mm_spec",
-    # -- canaries: r2-green gates covering every major family (scoring,
-    # parser, dedup, ANN, text stats, facets, suggest, multimodal) so
-    # regressions in long-stable code still surface; these are the slots
-    # that new round-4 gates displace as they land --
-    "term_query", "dismax", "phrase_query", "ann_search",
-    "bool_or", "join_query", "function_query", "dedup_exact",
-    "dedup_minhash", "embedding_cosine_topk", "langid", "quality_score",
-    "spellcheck", "wildcard_query",
-    # -- window OVERFLOW (positions 51+): everything below was green in
-    # r2 or r3 and re-enters on a later rotation; never-certified gates
-    # must NOT sit here.  Green in the local check_gate sweep meanwhile. --
-    "common_terms_query", "grouping_topk", "facet_range",
-    "stats_component", "suggest_prefix", "multimodal_meta",
-    "word_break", "terms_component", "parser_multiterm",
-    "collapse_field", "sort_by_field", "wand_topk",
+    # -- round-5 rotation (VERDICT r4 item 2). Window slots 1-50. --
+    # new in round 5 (never certified); names are filtered until their
+    # gates register, so listing them before implementation is safe
+    "dmetaphone_search", "xml_query", "morfologik_search",
+    # implementation changed this round (terms_dict reroute of every
+    # multi-term expansion; edismax mm built-clause fix; chunk trailing-
+    # subset suppression; streaming stable packing; ANN index validation;
+    # edismax also changed in r4 commit 488955f AFTER its last row)
+    "edismax", "fuzzy_query", "surround_query", "complex_phrase",
+    "more_like_this", "chunk_documents", "pack_sequences", "ann_search",
+    "freetext_suggest", "blended_infix", "spellcheck_collate",
+    "terms_component",
+    # oldest driver rows on record (latest green = r2; VERDICT r4 item 2:
+    # "no gate's latest row older than 2 rounds").  wildcard_query /
+    # spellcheck / suggest_prefix / term_range / word_break are ALSO
+    # impl-changed this round (terms_dict).
+    "wildcard_query", "spellcheck", "suggest_prefix", "term_range",
+    "word_break", "common_terms_query", "grouping_topk", "facet_range",
+    "stats_component", "multimodal_meta", "parser_multiterm",
+    "collapse_field", "sort_by_field", "ann_lsh_buckets", "bool_and",
+    "bool_must_not", "bool_parser", "dedup_simhash", "dedup_simhash64",
+    "doc_fingerprint", "expand_groups", "langid", "match_all_count",
+    "min_should_match", "minhash_lsh_pairs",
+    "ngram_jaccard", "ngram_jaccard_capped", "prefix_query",
+    "quality_score", "range_query", "search_after_page2", "simhash_bands",
+    "stats_percentiles", "token_count",
+    # -- window OVERFLOW (positions 51+): latest green r3/r4; re-enter on
+    # the r6 rotation; never-certified gates must NOT sit here.  Green in
+    # the local check_gate sweep meanwhile. --
+    "ivf_search", "wand_topk", "tfidf_topk", "versioned_upsert",
+    "span_near", "postings_highlight", "facet_interval", "nb_classify",
+    "pii_scrub", "line_dedup", "decontaminate", "url_normalize",
 ]
 
 

@@ -175,6 +175,7 @@ def search_edismax(mfi: MultiFieldIndex, query_text: str,
     stype = "double" if precision == "float64" else "float"
     words = [w for w in query_text.split() if w]
     frames = []
+    built_clauses: set[int] = set()
     for ci, word in enumerate(words):
         for fname, boost in qf.items():
             idx = mfi.indexes.get(fname)
@@ -183,6 +184,7 @@ def search_edismax(mfi: MultiFieldIndex, query_text: str,
             terms = [t.term for t in get_analyzer(idx.analyzer)(word)]
             if not terms:
                 continue
+            built_clauses.add(ci)
             scored, _ = term_score_frame(idx, terms, boost=boost,
                                          precision=precision)
             per_doc = scored.groupBy("seg", "docid").agg(
@@ -205,7 +207,14 @@ def search_edismax(mfi: MultiFieldIndex, query_text: str,
     agg = per_clause.groupBy("key").agg(
         F.sum("cscore").cast(stype).alias("score"),
         F.count("*").alias("nmatched"))
-    msm = (calculate_min_should_match(len(words), mm)
+    # mm SPEC strings resolve against the number of OPTIONAL CLAUSES the
+    # parser actually built, not the raw whitespace word count — a word
+    # whose per-field analysis yields no terms (e.g. a stopword under an
+    # 'english'-analyzed field) produces no clause in Solr's edismax and
+    # must not count toward minimum-should-match
+    # (``ExtendedDismaxQParser.java`` applies mm via
+    # ``SolrPluginUtils.setMinShouldMatch`` to the built BooleanQuery).
+    msm = (calculate_min_should_match(len(built_clauses), mm)
            if isinstance(mm, str) else mm)
     if msm > 0:
         agg = agg.where(F.col("nmatched") >= msm)

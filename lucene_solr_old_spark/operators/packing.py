@@ -112,50 +112,60 @@ def pack_sequences_stable(docs: DataFrame, max_tokens: int,
     unlike :func:`pack_sequences`, whose (partition_id, local_seq) ids
     depend on the hash-shuffle layout.
 
-    Plan: one hash exchange on the bucket column, then a linear
-    per-bucket pass in ``mapInPandas``; at 10^12 docs raise
-    ``hex_chars`` so each bucket fits an Arrow batch comfortably.
+    Plan: one hash exchange on the bucket column with a (bucket, key)
+    sort inside each partition, then a STREAMING linear pass in
+    ``mapInPandas`` — rows arrive already grouped by bucket and
+    key-ordered, so the worker keeps only the CURRENT pack's state
+    (never a whole bucket, never a whole partition: many buckets
+    hash-route into one partition, so buffering per-bucket would not
+    bound memory either) and emits finished packs batch by batch.
+    Per-task memory is O(largest single pack), independent of
+    ``hex_chars`` and of how many buckets share a partition.
 
     Returns (seq_id, doc_ids, n_docs, total_tokens, oversize).
     """
     import pandas as pd
 
+    cols = ["seq_id", "doc_ids", "n_docs", "total_tokens", "oversize"]
     key = F.col(key_col).cast("string")
     with_tokens = docs.select(
         key.alias("key"),
         F.size(F.filter(F.split(F.col(text_col), " "),
                         lambda x: x != F.lit(""))).alias("n_tokens"),
         F.substring(F.md5(key), 1, hex_chars).alias("bucket"))
-    routed = with_tokens.repartition("bucket")
+    routed = (with_tokens.repartition("bucket")
+              .sortWithinPartitions("bucket", "key"))
 
     def pack(batches):
-        buckets: dict[str, list] = {}
+        bk = None          # current bucket
+        seq = -1           # pack ordinal within bucket
+        cur_keys: list[str] = []
+        cur = 0            # running token count of the open pack
+        out: list[tuple] = []
+
+        def close():
+            if cur_keys:
+                out.append((f"{bk}-{seq}", list(cur_keys), len(cur_keys),
+                            cur, cur > max_tokens))
+
         for b in batches:
-            for key_, n, bk in zip(b["key"], b["n_tokens"], b["bucket"]):
-                buckets.setdefault(bk, []).append((key_, int(n)))
-        out = []
-        for bk in sorted(buckets):
-            rows = sorted(buckets[bk])
-            seq = -1
-            cur = 0
-            cur_keys: list[str] = []
-
-            def flush():
-                if cur_keys:
-                    out.append((f"{bk}-{seq}", list(cur_keys),
-                                len(cur_keys), cur, cur > max_tokens))
-
-            for k, n in rows:
+            for k, n, b_ in zip(b["key"], b["n_tokens"], b["bucket"]):
+                n = int(n)
+                if b_ != bk:
+                    close()
+                    bk, seq, cur_keys, cur = b_, -1, [], 0
                 if seq < 0 or cur + n > max_tokens:
-                    flush()
+                    close()
                     seq += 1
                     cur_keys, cur = [], 0
                 cur_keys.append(k)
                 cur += n
-            flush()
-        yield pd.DataFrame(
-            out, columns=["seq_id", "doc_ids", "n_docs", "total_tokens",
-                          "oversize"])
+            if out:  # stream finished packs out per Arrow batch
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        close()
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
     return routed.mapInPandas(
         pack,
@@ -172,8 +182,12 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 256,
     Chunk ``c`` of a document covers token positions
     ``[c*stride, c*stride + chunk_tokens)`` with
     ``stride = chunk_tokens - overlap``; the final partial chunk is
-    kept.  Returns (key, chunk_id, n_tokens, chunk_text) with
-    whitespace tokens rejoined.
+    kept UNLESS it adds no tokens beyond the previous chunk's coverage
+    (``c*stride + overlap >= doc_len`` for ``c >= 1`` — a trailing
+    partial shorter than ``overlap`` would be a strict SUBSET of the
+    previous chunk, duplicating text downstream; standard sliding-window
+    chunkers suppress it).  Returns (key, chunk_id, n_tokens,
+    chunk_text) with whitespace tokens rejoined.
 
     Plan: tokens never leave their document's rows — each token
     computes its (small, bounded by ceil(chunk/stride)) set of owning
@@ -185,19 +199,23 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 256,
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
+    arr = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     toks = docs.select(
         F.col(key_col).alias("key"),
-        F.posexplode(F.filter(F.split(F.col(text_col), " "),
-                              lambda x: x != F.lit(""))).alias("pos", "w"))
+        F.size(arr).alias("doc_len"),
+        F.posexplode(arr).alias("pos", "w"))
     # owning chunks: ceil((pos - chunk + 1)/stride) <= c <= pos // stride
     lo = F.greatest(
         F.lit(0),
         F.ceil((F.col("pos") - chunk_tokens + 1) / F.lit(stride)))
     hi = F.floor(F.col("pos") / F.lit(stride))
-    owned = toks.select(
-        "key", "pos", "w",
+    owned = (toks.select(
+        "key", "pos", "w", "doc_len",
         F.explode(F.sequence(lo.cast("int"), hi.cast("int")))
         .alias("chunk_id"))
+        # drop a trailing chunk that is a strict subset of its predecessor
+        .where((F.col("chunk_id") == 0)
+               | (F.col("chunk_id") * stride + overlap < F.col("doc_len"))))
     return (owned.groupBy("key", "chunk_id")
             .agg(F.count("*").alias("n_tokens"),
                  F.array_join(

@@ -16,12 +16,14 @@ interactive lookup; the LSH bucket table is the indexed variant.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["cosine_topk", "cosine_score_col", "srp_planes", "lsh_buckets",
            "ann_search", "assign_clusters", "kmeans_fit", "ivf_search",
-           "index_vectors", "embedding_neardup_pairs"]
+           "index_vectors", "load_vector_index", "embedding_neardup_pairs"]
 
 
 def cosine_score_col(vec_col, query: list[float]):
@@ -115,6 +117,9 @@ def ann_search(emb: DataFrame, query: list[float], k: int = 10,
     for _m, j in margins[:max(0, probes)]:
         targets.append(q_bucket ^ (1 << j))
     if index is not None:
+        _check_index_meta(index, "bucket",
+                          {"ann_kind": "lsh", "n_planes": n_planes,
+                           "dim": dim}, "ann_search")
         cand = index.where(F.col("bucket").isin(targets))
     else:
         buckets = lsh_buckets(emb, dim, n_planes, id_col, vec_col)
@@ -138,6 +143,43 @@ def _round_away(x: float, digits: int = 6) -> float:
     return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
 
+def _centroid_fp(centroids: list[tuple[int, list[float]]],
+                 round_digits: int = 6) -> str:
+    """Deterministic fingerprint of an IVF codebook: md5 over the sorted
+    (cid, rounded components) — the same quantum :func:`assign_clusters`
+    rounds distances to, so any codebook that would produce identical
+    assignments fingerprints identically."""
+    canon = sorted((int(cid), [_round_away(float(v), round_digits)
+                               for v in cv]) for cid, cv in centroids)
+    return hashlib.md5(repr(canon).encode()).hexdigest()
+
+
+def _check_index_meta(index: DataFrame, acol: str,
+                      expect: dict, caller: str) -> None:
+    """Assert a prebuilt :func:`index_vectors` table matches the
+    query-time parameters.  An index built with different planes (or a
+    different codebook) silently probes WRONG buckets and returns
+    wrong/empty neighbors, so a mismatch is an error, not a degradation.
+    Tables without the metadata (hand-built) are accepted — matching
+    build parameters is then the caller's documented precondition."""
+    try:
+        meta = dict(index.schema[acol].metadata or {})
+    except KeyError:
+        raise ValueError(
+            f"{caller}: index= table has no '{acol}' column — not an "
+            f"index_vectors() table for this search kind")
+    if not meta.get("ann_kind"):
+        return  # unfingerprinted (user-assembled) table: precondition
+    for key, want in expect.items():
+        got = meta.get(key)
+        if got != want:
+            raise ValueError(
+                f"{caller}: index was built with {key}={got!r} but the "
+                f"query uses {key}={want!r} — probing it would hit the "
+                f"wrong {acol}s; rebuild with index_vectors(...) using "
+                f"the query-time parameters")
+
+
 def index_vectors(emb: DataFrame, *,
                   centroids: list[tuple[int, list[float]]] | None = None,
                   dim: int | None = None, n_planes: int = 8,
@@ -156,7 +198,7 @@ def index_vectors(emb: DataFrame, *,
     the assignment column and read back: a probe's ``cid IN (...)`` /
     ``bucket IN (...)`` filter then prunes whole partitions at scan time
     (PartitionFilters in the plan — asserted in
-    tests/test_similarity.py), so at 10^12 vectors a lookup touches
+    tests/test_ivf.py), so at 10^12 vectors a lookup touches
     ~nprobe/k of the files and nothing else.  Without ``path`` the
     assignment is computed in-plan (cache/persist upstream for reuse).
 
@@ -169,19 +211,51 @@ def index_vectors(emb: DataFrame, *,
         assign = assign_clusters(emb, centroids, id_col, vec_col,
                                  round_digits)
         acol = "cid"
+        meta = {"ann_kind": "ivf",
+                "centroid_fp": _centroid_fp(centroids, round_digits),
+                "round_digits": round_digits}
     else:
         if dim is None:
             raise ValueError("index_vectors: pass centroids= (IVF) or "
                              "dim= (LSH)")
         assign = lsh_buckets(emb, dim, n_planes, id_col, vec_col)
         acol = "bucket"
+        meta = {"ann_kind": "lsh", "n_planes": n_planes, "dim": dim}
+
+    def _stamp(df: DataFrame) -> DataFrame:
+        # build-parameter fingerprint rides the assignment column's schema
+        # metadata; ann_search/ivf_search assert it matches the query-time
+        # parameters (a mismatched index probes the WRONG buckets).
+        cols = [F.col(c).alias(c, metadata=meta) if c == acol else F.col(c)
+                for c in df.columns]
+        return df.select(*cols)
+
     idx = emb.select(id_col, vec_col).join(assign, id_col)
     if path is None:
-        return idx
+        return _stamp(idx)
     spark = emb.sparkSession
     (idx.repartition(acol)
         .write.mode("overwrite").partitionBy(acol).parquet(path))
-    return spark.read.parquet(path)
+    with open(os.path.join(path, "_ann_index_meta.json"), "w") as f:
+        json.dump({"assign_col": acol, **meta}, f)
+    return _stamp(spark.read.parquet(path))
+
+
+def load_vector_index(spark, path: str) -> DataFrame:
+    """Reload a stored :func:`index_vectors` table WITH its build-parameter
+    fingerprint (parquet partition columns come back from directory names,
+    so the schema metadata has to be re-attached from the
+    ``ann_index_meta.json`` sidecar).  Plain ``spark.read.parquet`` also
+    works — the probe then trusts the caller to pass matching params."""
+    df = spark.read.parquet(path)
+    sidecar = os.path.join(path, "_ann_index_meta.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = json.load(f)
+        acol = meta.pop("assign_col")
+        df = df.select(*[F.col(c).alias(c, metadata=meta)
+                         if c == acol else F.col(c) for c in df.columns])
+    return df
 
 
 def assign_clusters(emb: DataFrame, centroids: list[tuple[int, list[float]]],
@@ -270,6 +344,11 @@ def ivf_search(emb: DataFrame, query: list[float],
         for cid, cv in centroids]
     probes = [cid for _d, cid in sorted(qd)[:max(1, nprobe)]]
     if index is not None:
+        _check_index_meta(
+            index, "cid",
+            {"ann_kind": "ivf",
+             "centroid_fp": _centroid_fp(centroids, round_digits),
+             "round_digits": round_digits}, "ivf_search")
         cands = index.where(F.col("cid").isin(probes))
     else:
         assign = assign_clusters(emb, centroids, id_col, vec_col,

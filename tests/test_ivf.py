@@ -166,3 +166,49 @@ def test_embedding_neardup_is_bucket_join_not_cartesian(spark):
     plan = embedding_neardup_pairs(emb, dim=8, threshold=0.9)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan  # candidate gen is the bucket equi-join
+
+
+def test_index_param_mismatch_raises(spark, emb, tmp_path):
+    """A prebuilt index probed with different build parameters would hit
+    the wrong buckets — the probe must ERROR, not return wrong/empty
+    neighbors (round-4 advice: similarity.py index= validation)."""
+    from lucene_solr_old_spark.operators.similarity import (ann_search,
+                                                            index_vectors)
+
+    q = [1.0, 1.0, 1.0, 1.0]
+    # LSH: n_planes mismatch
+    idx = index_vectors(emb, dim=4, n_planes=4)
+    with pytest.raises(ValueError, match="n_planes"):
+        ann_search(emb, q, k=3, n_planes=8, index=idx)
+    # matching params pass
+    assert ann_search(emb, q, k=3, n_planes=4, index=idx).count() == 3
+    # IVF: different codebook
+    cents = kmeans_fit(emb, k=2, iters=2)
+    ividx = index_vectors(emb, centroids=cents)
+    other = [(cid, [v + 1.0 for v in cv]) for cid, cv in cents]
+    with pytest.raises(ValueError, match="centroid_fp"):
+        ivf_search(emb, q, other, k=3, index=ividx)
+    assert ivf_search(emb, q, cents, k=3, index=ividx).count() == 3
+    # wrong kind entirely: LSH index passed to ivf_search
+    with pytest.raises(ValueError, match="cid"):
+        ivf_search(emb, q, cents, k=3, index=idx)
+
+
+def test_load_vector_index_restores_fingerprint(spark, emb, tmp_path):
+    """Partition columns lose schema metadata through parquet; the sidecar
+    reload path must restore the fingerprint so stored indexes stay
+    validated across sessions."""
+    from lucene_solr_old_spark.operators.similarity import (
+        ann_search, index_vectors, load_vector_index)
+
+    path = str(tmp_path / "vidx")
+    index_vectors(emb, dim=4, n_planes=4, path=path)
+    loaded = load_vector_index(spark, path)
+    assert loaded.schema["bucket"].metadata.get("n_planes") == 4
+    q = [1.0, 1.0, 1.0, 1.0]
+    with pytest.raises(ValueError, match="n_planes"):
+        ann_search(emb, q, k=3, n_planes=8, index=loaded)
+    assert ann_search(emb, q, k=3, n_planes=4, index=loaded).count() == 3
+    # an unfingerprinted hand-built table is still accepted (precondition)
+    bare = spark.read.parquet(path)
+    assert ann_search(emb, q, k=3, n_planes=4, index=bare).count() == 3

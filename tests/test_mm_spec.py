@@ -65,3 +65,29 @@ def test_edismax_mm_spec_and_pf(spark):
     boosted = {r["key"]: r["score"] for r in rows}
     assert boosted["1"] > top1["1"]
     assert abs(boosted["3"] - top1["3"]) < 1e-6  # no phrase, unchanged
+
+
+def test_edismax_mm_counts_built_clauses_not_words(spark):
+    """A query word that analyzes to no terms (a stopword under an
+    'english'-analyzed field) produces no optional clause — Solr's edismax
+    resolves the mm spec against the clauses actually built
+    (``SolrPluginUtils.setMinShouldMatch`` runs on the built BooleanQuery),
+    so mm="100%" with a stopword in the query must NOT filter everything."""
+    from lucene_solr_old_spark.operators.multifield import (
+        build_multifield_index, search_edismax)
+
+    docs = spark.createDataFrame(
+        [("1", "big data systems"), ("2", "small data tools"),
+         ("3", "big cats")],
+        "key STRING, body STRING")
+    mfi = build_multifield_index(
+        docs, key_col="key", fields={"body": "body"},
+        default_field="body", num_segments=2,
+        analyzers={"body": "english"})
+    # "the" is a stopword under 'english': 3 words, 2 built clauses.
+    keys = sorted(r["key"] for r in search_edismax(
+        mfi, "the big data", {"body": 1.0}, mm="100%", k=10).collect())
+    assert keys == ["1"]
+    # all-stopword query: zero clauses built -> empty result, not a crash
+    assert search_edismax(mfi, "the of and", {"body": 1.0},
+                          mm="100%", k=10).count() == 0

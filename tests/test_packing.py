@@ -135,12 +135,13 @@ def test_chunk_documents_overlap(spark):
         "doc_id long, text string")
     rows = {r["chunk_id"]: r for r in
             chunk_documents(docs, chunk_tokens=4, overlap=2).collect()}
-    # stride 2: chunks at 0,2,4,6,8 — last one partial
-    assert sorted(rows) == [0, 1, 2, 3, 4]
+    # stride 2: chunks at 0,2,4,6 — a chunk at 8 would be {w8,w9}, a
+    # strict subset of chunk 3's {w6..w9}, so it is suppressed
+    assert sorted(rows) == [0, 1, 2, 3]
     assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
     assert rows[1]["chunk_text"] == "w2 w3 w4 w5"
-    assert rows[4]["chunk_text"] == "w8 w9"
-    assert rows[4]["n_tokens"] == 2
+    assert rows[3]["chunk_text"] == "w6 w7 w8 w9"
+    assert rows[3]["n_tokens"] == 4
 
 
 def test_chunk_documents_no_overlap(spark):
@@ -161,3 +162,51 @@ def test_chunk_documents_bad_overlap_raises(spark):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_trailing_subset_suppressed(spark):
+    """A final partial chunk shorter than overlap adds no new tokens
+    (strict subset of the previous chunk) and must be suppressed: 13
+    tokens, chunk=16, overlap=4 -> exactly one chunk (round-4 advice)."""
+    from lucene_solr_old_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(f"t{i}" for i in range(13))),
+         ("d2", " ".join(f"t{i}" for i in range(17))),   # 17 > 16: 2 chunks
+         ("d3", " ".join(f"t{i}" for i in range(16)))],  # exactly one
+        "doc_id string, text string")
+    out = {(r["key"], r["chunk_id"]): r for r in
+           chunk_documents(docs, chunk_tokens=16, overlap=4).collect()}
+    by_doc = {}
+    for (k, c) in out:
+        by_doc.setdefault(k, []).append(c)
+    assert sorted(by_doc["d1"]) == [0]        # 13 <= 12+4: chunk 1 dropped
+    assert sorted(by_doc["d2"]) == [0, 1]     # 17 > 16: chunk 1 adds t16
+    assert sorted(by_doc["d3"]) == [0]
+    # chunk 1 of d2 still covers [12, 17) with the 4-token overlap
+    assert out[("d2", 1)]["n_tokens"] == 5
+    assert out[("d2", 1)]["chunk_text"].split() == [
+        "t12", "t13", "t14", "t15", "t16"]
+
+
+def test_stable_pack_streaming_matches_buffered_semantics(spark):
+    """The streaming rewrite (sortWithinPartitions + one-pack state) must
+    produce the identical content-derived packing under any layout."""
+    from lucene_solr_old_spark.operators.packing import pack_sequences_stable
+
+    rows = [(f"doc{i:03d}", " ".join(["w"] * (7 + (i * 13) % 40)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted(map(tuple, pack_sequences_stable(docs, 64).collect()))
+    b = sorted(map(tuple, pack_sequences_stable(
+        docs.repartition(7), 64, hex_chars=2).collect()))
+    # hex_chars changes seq ids (bucket prefix) but membership/budget hold
+    assert sum(p[2] for p in a) == 60 == sum(p[2] for p in b)
+    assert all(p[3] <= 64 or p[2] == 1 for p in a)
+    ids_a = sorted(d for p in a for d in p[1])
+    ids_b = sorted(d for p in b for d in p[1])
+    assert ids_a == ids_b == sorted(r[0] for r in rows)
+    # same hex_chars + different layout -> bit-identical packs
+    c = sorted(map(tuple, pack_sequences_stable(
+        docs.repartition(11), 64).collect()))
+    assert a == c
