@@ -3862,6 +3862,83 @@ def _q_soundex(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+_DMETAPHONE_GOLDEN = {
+    # Published Double-Metaphone pairs (Philips, Dr. Dobb's June 2000;
+    # commons-codec DoubleMetaphoneTest) — oracle-side constants NOT
+    # derived from this repo's encoder, so the gate can catch an encoder
+    # bug (same non-circularity stance as _SOUNDEX_GOLDEN).
+    "smith": ("SM0", "XMT"),
+    "schmidt": ("XMT", "SMT"),
+}
+
+
+def _dmetaphone_sql() -> str:
+    from .functions.dmetaphone import double_metaphone
+
+    vocab = _CORPUS_VOCAB + ["smith", "schmidt"]
+    rows = []
+    for w in vocab:
+        rows.append((w, w))
+        primary, alternate = _DMETAPHONE_GOLDEN.get(w) or double_metaphone(w)
+        if primary and primary != w:
+            rows.append((w, primary))
+            if alternate and alternate != primary:
+                rows.append((w, alternate))
+    smap = ",".join(f"('{a}','{b}')" for a, b in rows)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 5 = 0 THEN ' smith'
+                                       WHEN doc_id % 5 = 1 THEN ' schmidt'
+                                       ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+smap(w, unit) AS (VALUES {smap}),
+tok AS (SELECT raw.doc_id, smap.unit AS term
+        FROM raw JOIN smap ON smap.w = raw.term),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    # query 'smith' analyzes to [smith, SM0, XMT]: the XMT code is the
+    # bridge that reaches docs spelled 'schmidt' (whose primary is XMT)
+    terms = ["smith", *_DMETAPHONE_GOLDEN["smith"]]
+    return f"""WITH {prelude}, {_scored_cte(terms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("dmetaphone_search", _dmetaphone_sql())
+def _q_dmetaphone(spark, sf_dir):
+    # DoubleMetaphoneFilter(4, inject=true): docs spelled 'schmidt' match
+    # the query 'smith' through the shared XMT code (smith's alternate ==
+    # schmidt's primary) — the canonical Double-Metaphone conflation
+    cache_key = (id(spark), f"{sf_dir}::dmetaphone")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" smith"))
+                .when(F.col("doc_id") % 5 == 1, F.lit(" schmidt"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="ws_dmetaphone").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "smith",
+                    k=40, precision="float64"))
+
+
 # ---- multi-language ID ----------------------------------------------------
 
 def _langid_multi_sql() -> str:
