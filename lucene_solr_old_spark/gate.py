@@ -3939,6 +3939,40 @@ def _q_dmetaphone(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+@_reg("xml_query", _topk_sql(
+    ["spark", "join"],
+    extra_where="""
+      AND doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+      AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')
+      AND doc_id IN (SELECT doc_id FROM documents
+                     WHERE lang >= 'de' AND lang <= 'es')"""))
+def _q_xml(spark, sf_dir):
+    # CoreParser surface: FilteredQuery{BooleanQuery(should join,
+    # must spark, mustnot vector), RangeFilter lang in [de..es]} — the
+    # RangeFilterQuery.xml fixture shape over the documents table
+    from .plans.xml import xml_search
+
+    xml = """
+    <FilteredQuery>
+      <Query>
+        <BooleanQuery fieldName="contents">
+          <Clause occurs="should"><TermQuery>join</TermQuery></Clause>
+          <Clause occurs="mustnot"><TermQuery>vector</TermQuery></Clause>
+          <Clause occurs="must"><TermQuery>spark</TermQuery></Clause>
+        </BooleanQuery>
+      </Query>
+      <Filter>
+        <RangeFilter fieldName="lang" lowerTerm="de" upperTerm="es"/>
+      </Filter>
+    </FilteredQuery>"""
+    idx = doc_index(spark, sf_dir)
+    attrs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+        "lang")
+    return _stable_topk(xml_search(idx, xml, k=40, precision="float64",
+                                   attrs=attrs, content_field="contents"))
+
+
 # ---- multi-language ID ----------------------------------------------------
 
 def _langid_multi_sql() -> str:

@@ -42,7 +42,7 @@ from ..operators.indexer import InvertedIndex
 
 __all__ = ["TermClause", "PhraseClause", "WildcardClause", "FuzzyClause",
            "RangeClause", "RegexpClause", "BoolQuery", "parse_query",
-           "execute"]
+           "bool_score_frame", "execute"]
 
 
 @dataclass
@@ -257,9 +257,13 @@ def _clause_frame(index: InvertedIndex, clause, clause_id: int,
     return frame.withColumn("cid", F.lit(clause_id))
 
 
-def execute(index: InvertedIndex, query, k: int = 10,
-            precision: str = "float32") -> DataFrame:
-    """Run a BoolQuery (or raw query string) -> top-k (key, score)."""
+def bool_score_frame(index: InvertedIndex, query,
+                     precision: str = "float32") -> DataFrame | None:
+    """BooleanQuery semantics -> score frame(seg, docid, score), or
+    ``None`` when the query matches nothing (empty after analysis, or a
+    MUST clause that analyzes to nothing).  Shared by :func:`execute`
+    and the XML parser's ``UserQuery``/nested-boolean execution
+    (plans/xml.py)."""
     if isinstance(query, str):
         query = parse_query(query)
     frames = []
@@ -269,8 +273,7 @@ def execute(index: InvertedIndex, query, k: int = 10,
         f = _clause_frame(index, clause, cid, precision)
         if f is None:
             # a MUST clause that analyzes to nothing matches nothing
-            return index.docmeta.select(
-                "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+            return None
         frames.append(f.withColumn("is_must", F.lit(1)))
         n_must += 1
         cid += 1
@@ -280,8 +283,7 @@ def execute(index: InvertedIndex, query, k: int = 10,
             frames.append(f.withColumn("is_must", F.lit(0)))
             cid += 1
     if not frames:
-        return index.docmeta.select(
-            "key", F.lit(0.0).cast("float").alias("score")).limit(0)
+        return None
     union = frames[0]
     for f in frames[1:]:
         union = union.unionByName(f)
@@ -319,9 +321,19 @@ def execute(index: InvertedIndex, query, k: int = 10,
               .distinct())
         agg = agg.join(ex, ["seg", "docid"], "left_anti")
 
+    return agg.select("seg", "docid", "score")
+
+
+def execute(index: InvertedIndex, query, k: int = 10,
+            precision: str = "float32") -> DataFrame:
+    """Run a BoolQuery (or raw query string) -> top-k (key, score)."""
     stype = "double" if precision == "float64" else "float"
-    out = agg.join(index.docmeta.select("seg", "docid", "key"),
-                   ["seg", "docid"])
+    frame = bool_score_frame(index, query, precision)
+    if frame is None:
+        return index.docmeta.select(
+            "key", F.lit(0.0).cast(stype).alias("score")).limit(0)
+    out = frame.join(index.docmeta.select("seg", "docid", "key"),
+                     ["seg", "docid"])
     return (out.select("key", F.col("score").cast(stype).alias("score"))
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(k))
