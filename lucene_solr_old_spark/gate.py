@@ -4635,6 +4635,89 @@ def _q_polish(spark, sf_dir):
                     k=40, precision="float64"))
 
 
+# ---- Morfologik (dictionary Polish lemmatization) --------------------------
+
+def _morfologik_sql() -> str:
+    # The analyzer (MorfologikAnalyzer.java: standard tokenizer +
+    # MorfologikFilter ONLY — no lowercase, no stop) emits EVERY lemma
+    # of a known surface form at the same position and keeps unknown
+    # tokens verbatim; lookup tries the surface form, then its
+    # lowercase.  Corpus text is already lowercase, so the SQL maps the
+    # injected case-sensitive fixtures with a surface -> lemma-list
+    # table and unnests.
+    from .functions.morfologik import default_dictionary
+
+    d = default_dictionary()
+
+    def _stems(w: str) -> list[str]:
+        lem = d.lookup(w) or d.lookup(w.lower())
+        return [x.stem for x in lem] if lem else [w]
+
+    injected = ["Poznania", "poznania", "liście"]
+    vocab = _CORPUS_VOCAB + injected
+    pmap = ",".join(
+        "('{}', [{}])".format(
+            w, ",".join("'" + s.replace("'", "''") + "'"
+                        for s in _stems(w)))
+        for w in vocab)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   text || CASE WHEN doc_id % 10 = 0 THEN ' Poznania'
+                                WHEN doc_id % 10 = 5 THEN ' poznania'
+                                WHEN doc_id % 7 = 3 THEN ' liście'
+                                ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+pmap(w, stems) AS (VALUES {pmap}),
+tok AS (SELECT raw.doc_id,
+               unnest(coalesce(p.stems, [raw.term])) AS term
+        FROM raw LEFT JOIN pmap p ON p.w = raw.term),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    qterms = ["Poznań", "liście", "liść", "list", "lista"]
+    return f"""WITH {prelude}, {_scored_cte(qterms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("morfologik_search", _morfologik_sql())
+def _q_morfologik(spark, sf_dir):
+    # MorfologikAnalyzer: dictionary lemmatization, case-sensitive
+    # lookup with lowercase fallback, ALL lemmas emitted (posInc 0).
+    # Every 10th doc gains "Poznania" (-> Poznań), %10==5 docs the
+    # lowercase "poznania" (-> poznanie+poznać: must NOT match), %7==3
+    # docs "liście" (-> 4 lemmas).  Query "Poznania liście" expands to
+    # 5 terms through the same chain.
+    cache_key = (id(spark), f"{sf_dir}::morfologik")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 10 == 0, F.lit(" Poznania"))
+                .when(F.col("doc_id") % 10 == 5, F.lit(" poznania"))
+                .when(F.col("doc_id") % 7 == 3, F.lit(" liście"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="morfologik").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "Poznania liście",
+                    k=40, precision="float64"))
+
+
 # ---- ICUTokenizer composite segmentation -----------------------------------
 
 # (qid, text, expected tokens post-nfkc_cf) — TestICUTokenizer's own
