@@ -86,3 +86,21 @@ def test_duplicate_ngram_spans_plan(spark):
     plan = duplicate_ngram_spans(docs, n=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # r5: row-local window assembly — no Window operator (and hence no
+    # partitionBy(key) shuffle); the only hash exchange is the global
+    # gram_hash count
+    assert "Window" not in plan
+    # every exchange shuffles on gram_hash (count agg + join-back, which
+    # AQE demotes to broadcast at runtime); none re-partitions by key
+    import re
+    for m in re.findall(r"Exchange hashpartitioning\((\w+)", plan):
+        assert m.startswith("gram_hash")
+
+
+def test_duplicate_ngram_spans_short_docs_excluded(spark):
+    from lucene_solr_old_spark.operators.dedup import duplicate_ngram_spans
+
+    # sequence(0, negative) would DESCEND; docs shorter than n must
+    # contribute no windows rather than phantom negative starts
+    docs = _docs(spark, ["a b", "a b", "a b c d"])
+    assert duplicate_ngram_spans(docs, n=3).count() == 0
