@@ -4733,12 +4733,18 @@ _ICUTOK_CASES = [
      ["վիքիպեդիայի", "13", "միլիոն", "4,600", "հայերեն"]),
     (4, "এই বিশ্বকোষ পরিচালনা করে",
      ["এই", "বিশ্বকোষ", "পরিচালনা", "করে"]),
+    # r5: full mid-token UAX#29 rules (TestICUTokenizer SA fixtures)
+    (5, "O'Reilly's house 216.239.63.104 dogs,chase,cats 21.35",
+     ["o'reilly's", "house", "216.239.63.104", "dogs", "chase",
+      "cats", "21.35"]),
+    (6, "David has 5000 bones B2B ac/dc",
+     ["david", "has", "5000", "bones", "b2b", "ac", "dc"]),
 ]
 
 
 @_reg("icu_tokenize", """
 SELECT * FROM (VALUES """ + ",".join(
-    f"({q}::INT, {i}::INT, '{t}')"
+    "({}::INT, {}::INT, '{}')".format(q, i, t.replace("'", "''"))
     for q, _txt, exp in _ICUTOK_CASES for i, t in enumerate(exp)) + """)
 AS t(qid, ord, term) ORDER BY qid, ord""")
 def _q_icu_tokenize(spark, sf_dir):
@@ -5024,11 +5030,13 @@ _PRIORITY: list[str] = [
     # implementation changed this round (terms_dict reroute of every
     # multi-term expansion; edismax mm built-clause fix; chunk trailing-
     # subset suppression; streaming stable packing; ANN index validation;
-    # edismax also changed in r4 commit 488955f AFTER its last row)
+    # edismax also changed in r4 commit 488955f AFTER its last row;
+    # icu_tokenize gained the full WB6/7/7a-c/11/12 mid-token rules;
+    # substring_dedup's window assembly went row-local)
     "edismax", "fuzzy_query", "surround_query", "complex_phrase",
     "more_like_this", "chunk_documents", "pack_sequences", "ann_search",
     "freetext_suggest", "blended_infix", "spellcheck_collate",
-    "terms_component",
+    "terms_component", "icu_tokenize", "substring_dedup",
     # oldest driver rows on record (latest green = r2; VERDICT r4 item 2:
     # "no gate's latest row older than 2 rounds").  wildcard_query /
     # spellcheck / suggest_prefix / term_range / word_break are ALSO
@@ -5042,10 +5050,10 @@ _PRIORITY: list[str] = [
     "min_should_match", "minhash_lsh_pairs",
     "ngram_jaccard", "ngram_jaccard_capped", "prefix_query",
     "quality_score", "range_query", "search_after_page2", "simhash_bands",
+    # -- window OVERFLOW (positions 51+): previously certified (r2-r4);
+    # re-enter on the r6 rotation; never-certified gates must NOT sit
+    # here.  Green in the local check_gate sweep meanwhile. --
     "stats_percentiles", "token_count",
-    # -- window OVERFLOW (positions 51+): latest green r3/r4; re-enter on
-    # the r6 rotation; never-certified gates must NOT sit here.  Green in
-    # the local check_gate sweep meanwhile. --
     "ivf_search", "wand_topk", "tfidf_topk", "versioned_upsert",
     "span_near", "postings_highlight", "facet_interval", "nb_classify",
     "pii_scrub", "line_dedup", "decontaminate", "url_normalize",
