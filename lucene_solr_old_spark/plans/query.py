@@ -55,6 +55,8 @@ class TermClause:
 class PhraseClause:
     text: str
     boost: float = 1.0
+    # QueryParserBase.getFieldQuery: "..."~N sloppy phrase (slop=0 exact)
+    slop: int = 0
 
 
 @dataclass
@@ -70,6 +72,9 @@ class FuzzyClause:
     boost: float = 1.0
     # FuzzyQuery.java:54-83 — defaultMaxExpansions = 50
     max_expansions: int = 50
+    # FuzzyQuery defaultPrefixLength = 0: candidates must share the
+    # first prefix_length characters (cheap dictionary pre-filter)
+    prefix_length: int = 0
 
 
 @dataclass
@@ -101,7 +106,7 @@ class BoolQuery:
 
 _TOKEN_RE = re.compile(
     r'(?P<op>[+-])?'
-    r'(?:"(?P<phrase>[^"]*)"'
+    r'(?:"(?P<phrase>[^"]*)"(?:~(?P<pslop>\d+))?'
     r'|/(?P<regex>[^/]*)/'
     r'|(?P<lb>[\[{])(?P<lo>\S+) TO (?P<hi>\S+)(?P<rb>[\]}])'
     r'|(?P<term>[^\s^]+))'
@@ -120,7 +125,8 @@ def parse_query(q: str) -> BoolQuery:
             continue
         boost = float(m.group("boost") or 1.0)
         if m.group("phrase") is not None:
-            clause = PhraseClause(m.group("phrase"), boost)
+            clause = PhraseClause(m.group("phrase"), boost,
+                                  slop=int(m.group("pslop") or 0))
         elif m.group("regex") is not None:
             # /pattern/ — classic parser's RegexpQuery syntax; lowercased
             # like wildcards (lowercase_expanded_terms default)
@@ -204,7 +210,12 @@ def _fuzzy_terms(index: InvertedIndex, clause: FuzzyClause) -> list[str]:
     seek analogue; stored with the segments, parquet-pruned) — ≤50 rows
     reach the driver regardless of dictionary size, and no postings
     aggregation appears in the query plan."""
-    rows = (index.terms_dict().select("term")
+    cands = index.terms_dict().select("term")
+    if clause.prefix_length > 0:
+        # FuzzyQuery prefixLength: expansion shares the first p chars
+        cands = cands.where(
+            F.col("term").startswith(clause.text[:clause.prefix_length]))
+    rows = (cands
             .withColumn("dist",
                         F.levenshtein(F.col("term"), F.lit(clause.text)))
             .where(F.col("dist") <= clause.max_edits)
@@ -246,8 +257,8 @@ def _clause_frame(index: InvertedIndex, clause, clause_id: int,
     if not terms:
         return None
     if isinstance(clause, PhraseClause) and len(terms) > 1:
-        frame = S.phrase_score_frame(index, terms, precision,
-                                     clause.boost).select(
+        frame = S.phrase_score_frame(index, terms, precision, clause.boost,
+                                     slop=clause.slop).select(
             "seg", "docid", "score")
     else:
         scored, _ = S.term_score_frame(index, terms, boost=clause.boost,

@@ -100,3 +100,49 @@ class TestRegexpClause:
         # all dog-family terms EXCEPT the bare "dog" (complement needs NFA)
         hits = execute(fuzzy_index, "/dog[a-z]*&~(dog)/", k=20).collect()
         assert len(hits) == 10
+
+
+# ---- r5: classic-parser slop + fuzzy prefixLength --------------------------
+
+def test_parse_phrase_slop():
+    from lucene_solr_old_spark.plans.query import PhraseClause, parse_query
+
+    q = parse_query('"bank of england"~2^3 plain "exact one"')
+    ph = [c for c in q.should if isinstance(c, PhraseClause)]
+    assert ph[0].slop == 2 and ph[0].boost == 3.0
+    assert ph[1].slop == 0 and ph[1].boost == 1.0
+
+
+def test_sloppy_phrase_via_parser(spark):
+    from lucene_solr_old_spark.operators.indexer import build_index
+    from lucene_solr_old_spark.plans.query import execute
+
+    docs = spark.createDataFrame(
+        [("a", "bank merger of england"), ("b", "bank of england"),
+         ("c", "england bank")], "url string, text string")
+    idx = build_index(docs, num_segments=1, analyzer="ws_lower")
+    exact = {r["key"] for r in execute(idx, '"bank england"', k=5).collect()}
+    sloppy = {r["key"] for r in
+              execute(idx, '"bank england"~2', k=5).collect()}
+    assert exact == set()
+    # slop 2 reaches both "bank ~ ~ england" (2 moves) and the
+    # transposed "england bank"
+    assert sloppy == {"a", "b", "c"}
+
+
+def test_fuzzy_prefix_length(spark):
+    from lucene_solr_old_spark.operators.indexer import build_index
+    from lucene_solr_old_spark.plans.query import (FuzzyClause, BoolQuery,
+                                                   execute)
+
+    docs = spark.createDataFrame(
+        [("a", "roam home"), ("b", "foam soap")],
+        "url string, text string")
+    idx = build_index(docs, num_segments=1, analyzer="ws_lower")
+    free = BoolQuery(should=[FuzzyClause("roam", max_edits=1)])
+    pinned = BoolQuery(should=[FuzzyClause("roam", max_edits=1,
+                                           prefix_length=1)])
+    assert {r["key"] for r in execute(idx, free, k=5).collect()} == {"a", "b"}
+    # prefixLength=1 keeps only candidates sharing 'r': foam drops
+    assert {r["key"] for r in
+            execute(idx, pinned, k=5).collect()} == {"a"}
