@@ -33,12 +33,19 @@ def main() -> None:
     ap.add_argument("--nosave", action="store_true")
     ap.add_argument("--nopersist", action="store_true")
     ap.add_argument("--route", default="hash", choices=["hash", "none"])
+    ap.add_argument("--layout", default="segdir",
+                    choices=["segdir", "packed"])
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("index-bench")
              .config("spark.sql.shuffle.partitions", str(args.shuffle))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
+             # task-side (parallel) output commit — the v1 default
+             # renames every file sequentially on the driver, a serial
+             # term that does not scale with cores (BASELINE.md r5)
+             .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                     ".algorithm.version", "2")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -60,7 +67,7 @@ def main() -> None:
         idx.postings.write.format("noop").mode("overwrite").save()
         idx.docmeta.write.format("noop").mode("overwrite").save()
     else:
-        idx.save(args.out)
+        idx.save(args.out, layout=args.layout)
     wall = time.time() - t0
 
     master = spark.sparkContext.master
@@ -70,6 +77,7 @@ def main() -> None:
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 2),
         "segments": args.segments, "route": args.route,
+        "layout": args.layout,
         "shuffle_partitions": args.shuffle,
         "compressed": bool(args.compress),
     }))

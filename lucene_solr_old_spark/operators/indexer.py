@@ -118,24 +118,68 @@ class InvertedIndex:
         self.segstats = self.segstats.persist()
         return self
 
-    def save(self, path: str, mode: str = "overwrite") -> None:
-        """Segment-per-partition persistent layout: postings partitioned by
-        seg (the Iceberg-style 'segment = partition' model, SURVEY.md §1.1).
+    def save(self, path: str, mode: str = "overwrite",
+             layout: str = "segdir") -> None:
+        """Persist the index.
+
+        ``layout="segdir"`` (default): postings/docmeta partitioned by
+        seg into ``seg=N`` directories (the Iceberg-style 'segment =
+        partition' model, SURVEY.md §1.1) — one-plus file per segment.
+        This is the layout incremental appends require (dynamic
+        partition overwrite replaces exactly the seg= dirs a batch owns,
+        streaming/incremental.py:56).
+
+        ``layout="packed"``: bulk-ingest layout — range-partitioned by
+        (seg, term) and sorted within files, so file count tracks WRITE
+        PARALLELISM instead of segment count and per-seg reads prune on
+        parquet row-group min/max of the plain ``seg`` column.  Writing
+        one-plus file per segment serializes on per-file create/flush
+        latency — on one shared disk that is a constant term that caps
+        measured build scaling (BASELINE.md r5 decomposition); a range
+        file layout keeps the sink embarrassingly parallel while giant
+        segments split across files instead of forcing one huge file.
+        Do NOT mix layouts in one directory (Spark cannot read
+        partition-dir and plain files together): packed indexes are for
+        write-once bulk ingest (``route="none"``), segdir for indexes
+        that take incremental appends.
         """
         import json
 
-        self.postings.write.mode(mode).partitionBy("seg").parquet(
-            os.path.join(path, "postings"))
-        self.docmeta.write.mode(mode).partitionBy("seg").parquet(
-            os.path.join(path, "docmeta"))
+        if layout not in ("segdir", "packed"):
+            raise ValueError("layout must be 'segdir' or 'packed'")
+        if layout == "packed":
+            # coalesce, NOT repartition/repartitionByRange: range
+            # partitioning runs a SAMPLING pass that re-evaluates the
+            # whole postings aggregation (+10s on the 1.2M bulk
+            # protocol), and a hash repartition adds what would be the
+            # ONLY exchange in the zero-shuffle route="none" fused build.
+            # coalesce merges existing partitions map-side — the sink
+            # stays embarrassingly parallel and data moves zero times.
+            # Term-addressed probes go through terms_dict (below), which
+            # IS term-sorted; packed postings trade the segdir layout's
+            # per-seg file pruning for a parallel sink, which is the
+            # right trade for write-once bulk ingest.
+            par = max(1, self.postings.sparkSession
+                      .sparkContext.defaultParallelism)
+            (self.postings.coalesce(par)
+             .write.mode(mode).parquet(os.path.join(path, "postings")))
+            (self.docmeta.coalesce(par)
+             .write.mode(mode).parquet(os.path.join(path, "docmeta")))
+        else:
+            self.postings.write.mode(mode).partitionBy("seg").parquet(
+                os.path.join(path, "postings"))
+            self.docmeta.write.mode(mode).partitionBy("seg").parquet(
+                os.path.join(path, "docmeta"))
         self.segstats.write.mode(mode).parquet(os.path.join(path, "segstats"))
         if mode == "overwrite":
             # build-time term dictionary (BlockTreeTermsWriter analogue):
-            # term-range partitioned + sorted so a prefix/range probe reads
-            # only the files whose parquet min/max straddle the probe.  On
-            # append (incremental segments) the stored dict would go stale —
-            # the appender re-derives it lazily instead.
-            (self.terms_dict().repartitionByRange(4, "term")
+            # few term-SORTED files so a prefix/range probe skips row
+            # groups whose min/max don't straddle it.  coalesce + sort,
+            # not repartitionByRange: the range sampler would re-run the
+            # terms aggregation a second time.  On append (incremental
+            # segments) the stored dict would go stale — the appender
+            # re-derives it lazily instead.
+            (self.terms_dict().coalesce(4)
              .sortWithinPartitions("term")
              .write.mode(mode).parquet(os.path.join(path, "terms_dict")))
         os.makedirs(path, exist_ok=True)

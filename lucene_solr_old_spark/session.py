@@ -31,6 +31,14 @@ def get_spark(app_name: str = "lucene-solr-old-spark",
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # v1 commitJob renames every task file SEQUENTIALLY on the
+        # driver — a serial term proportional to output-file count and
+        # independent of core count (it capped measured build scaling
+        # on this sandbox's single disk).  v2 renames inside each task,
+        # overlapped with execution; on a real cluster the same flag
+        # is the standard choice for direct-to-table batch writes.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
     )
     if master:
         builder = builder.master(master)

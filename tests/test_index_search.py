@@ -325,3 +325,37 @@ def test_route_none_query_identical(spark, corpus):
         .postings._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in final, final
+
+
+def test_packed_save_layout_round_trip(spark, tmp_path):
+    """layout='packed' (bulk-ingest): range files instead of seg= dirs;
+    identical query results after load, file count tracks parallelism
+    not segment count."""
+    import os
+
+    from lucene_solr_old_spark.operators.indexer import (build_index,
+                                                         load_index)
+    from lucene_solr_old_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", f"spark query engine term{i % 7}") for i in range(60)],
+        "url string, text string")
+    idx = build_index(docs, num_segments=12, analyzer="ws_lower")
+    p1, p2 = str(tmp_path / "segdir"), str(tmp_path / "packed")
+    idx.save(p1)
+    idx.save(p2, layout="packed")
+    # no seg= partition dirs in packed; file count <= parallelism-ish,
+    # NOT one per segment
+    assert not any(f.startswith("seg=")
+                   for f in os.listdir(os.path.join(p2, "postings")))
+    a = load_index(spark, p1)
+    b = load_index(spark, p2)
+    ra = [(r["key"], round(r["score"], 5)) for r in
+          S.search_or(a, "spark term3", k=20, precision="float64").collect()]
+    rb = [(r["key"], round(r["score"], 5)) for r in
+          S.search_or(b, "spark term3", k=20, precision="float64").collect()]
+    assert ra == rb and len(ra) == 20
+
+    import pytest
+    with pytest.raises(ValueError):
+        idx.save(str(tmp_path / "x"), layout="banana")

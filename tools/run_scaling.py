@@ -41,6 +41,10 @@ N_DOCS = int(os.environ.get("SCALING_DOCS", "1200000"))
 REPS = int(os.environ.get("SCALING_REPS", "2"))
 N_LO, N_HI = 4, 16
 ROUTE = os.environ.get("SCALING_ROUTE", "none")  # bulk-ingest default
+# bulk-ingest save layout: file count tracks write parallelism instead of
+# segment count, so the sink scales with cores instead of serializing on
+# per-file latency of the single sandbox disk (indexer.save docstring)
+LAYOUT = os.environ.get("SCALING_LAYOUT", "packed")
 
 
 def _burn(_):
@@ -76,7 +80,7 @@ def run_full(cores: int, zip_path: str, inp: str, out: str) -> dict:
         "--conf", "spark.ui.enabled=false", "--driver-memory", "24g",
         "bench/index_bench.py", "--input", inp, "--out", out,
         "--segments", "64", "--salt", "8", "--shuffle", str(cores * 4),
-        "--route", ROUTE,
+        "--route", ROUTE, "--layout", LAYOUT,
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
                          timeout=3600)
@@ -147,6 +151,7 @@ def main() -> None:
                     f" best-of-{REPS}; {N_DOCS} docs)",
         "corpus_docs": N_DOCS,
         "route": ROUTE,
+        "layout": LAYOUT,
         "machine_cores": os.cpu_count(),
         "docs_per_sec_N": full_best[N_LO]["docs_per_sec"],
         "docs_per_sec_4N": full_best[N_HI]["docs_per_sec"],
