@@ -118,6 +118,34 @@ class InvertedIndex:
         self.segstats = self.segstats.persist()
         return self
 
+    def _write_terms_dict(self, path: str, mode: str) -> None:
+        """Build-time term dictionary (BlockTreeTermsWriter analogue):
+        few term-SORTED files so a prefix/range probe skips row groups
+        whose min/max don't straddle it.  Derived from the parquet JUST
+        WRITTEN, not the in-memory lineage: a column-pruned scan of the
+        stored postings reads only term/df/ttf (a few MB), where the
+        lineage re-reads the whole multi-GB analyzed cache — or, when
+        the build is unpersisted, re-runs the entire fused analysis
+        again.  Always equivalent by construction (stored postings ==
+        the rows terms_dict() would aggregate), incl. delete-masked
+        indexes.  Mirrors the reference, which writes its term dict
+        from the flushed segment data
+        (codecs/BlockTreeTermsWriter.java:177-187).  On append
+        (incremental segments) the stored dict would go stale — the
+        appender re-derives it lazily instead."""
+        spark = self.postings.sparkSession
+        stored_postings = spark.read.parquet(os.path.join(path, "postings"))
+        (stored_postings.groupBy("term")
+         .agg(F.sum("df").cast("long").alias("df"),
+              F.sum("ttf").cast("long").alias("ttf"))
+         .coalesce(4)
+         .sortWithinPartitions("term")
+         .write.mode(mode).parquet(os.path.join(path, "terms_dict")))
+        # the live object now probes the stored sorted dict too, exactly
+        # like an index opened by load_index
+        self._terms_dict = spark.read.parquet(
+            os.path.join(path, "terms_dict"))
+
     def save(self, path: str, mode: str = "overwrite",
              layout: str = "segdir") -> None:
         """Persist the index.
@@ -159,29 +187,59 @@ class InvertedIndex:
             # IS term-sorted; packed postings trade the segdir layout's
             # per-seg file pruning for a parallel sink, which is the
             # right trade for write-once bulk ingest.
-            par = max(1, self.postings.sparkSession
-                      .sparkContext.defaultParallelism)
+            # 2x slots per core: halves each writer's buffer footprint
+            # and lets the scheduler rebalance around straggler
+            # partitions and GC pauses; file count still tracks write
+            # parallelism, not segment count.
+            par = 2 * max(1, self.postings.sparkSession
+                          .sparkContext.defaultParallelism)
+            # Wave 1: the postings write ALONE.  It is the one heavy
+            # pass, and running it first materializes the build cache as
+            # a side effect — launching the sibling writes concurrently
+            # with it would race the lazy cache population and duplicate
+            # the fused-analysis work (concurrent tasks that miss a
+            # still-computing cached partition recompute it).
             (self.postings.coalesce(par)
              .write.mode(mode).parquet(os.path.join(path, "postings")))
-            (self.docmeta.coalesce(par)
-             .write.mode(mode).parquet(os.path.join(path, "docmeta")))
+            # Wave 2: the remaining tables are independent warm-cache /
+            # stored-parquet scans — overlap their jobs on driver
+            # threads so none of them serializes behind another's
+            # stragglers (the same overlap a multi-sink cluster job
+            # gets for free).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _w_docmeta():
+                (self.docmeta.coalesce(par)
+                 .write.mode(mode).parquet(os.path.join(path, "docmeta")))
+
+            def _w_segstats():
+                self.segstats.write.mode(mode).parquet(
+                    os.path.join(path, "segstats"))
+
+            def _w_terms():
+                if mode != "overwrite":
+                    return
+                self._write_terms_dict(path, mode)
+
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                futs = [ex.submit(f)
+                        for f in (_w_docmeta, _w_segstats, _w_terms)]
+                for fu in futs:
+                    fu.result()
         else:
             self.postings.write.mode(mode).partitionBy("seg").parquet(
                 os.path.join(path, "postings"))
             self.docmeta.write.mode(mode).partitionBy("seg").parquet(
                 os.path.join(path, "docmeta"))
-        self.segstats.write.mode(mode).parquet(os.path.join(path, "segstats"))
-        if mode == "overwrite":
-            # build-time term dictionary (BlockTreeTermsWriter analogue):
-            # few term-SORTED files so a prefix/range probe skips row
-            # groups whose min/max don't straddle it.  coalesce + sort,
-            # not repartitionByRange: the range sampler would re-run the
-            # terms aggregation a second time.  On append (incremental
-            # segments) the stored dict would go stale — the appender
-            # re-derives it lazily instead.
-            (self.terms_dict().coalesce(4)
-             .sortWithinPartitions("term")
-             .write.mode(mode).parquet(os.path.join(path, "terms_dict")))
+            # segstats comes from self.segstats in BOTH layouts (NOT
+            # re-derived from the stored docmeta): keep_stats=True
+            # delete-masked indexes carry intentionally-stale stats
+            # (Lucene's deleted-doc over-counting, merge.py:249) that a
+            # fresh aggregation would erase.
+            self.segstats.write.mode(mode).parquet(
+                os.path.join(path, "segstats"))
+            if mode == "overwrite":
+                self._write_terms_dict(path, mode)
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "index_meta.json"), "w") as f:
             json.dump({"analyzer": self.analyzer,

@@ -39,6 +39,14 @@ def get_spark(app_name: str = "lucene-solr-old-spark",
         # is the standard choice for direct-to-table batch writes.
         .config("spark.hadoop.mapreduce.fileoutputcommitter"
                 ".algorithm.version", "2")
+        # throughput-oriented GC: G1's pause-time tuning costs ~15-25%
+        # wall on this allocation-heavy batch profile (parquet encode of
+        # nested posting arrays under 16+ writer threads); measured in
+        # the BASELINE.md r5 scaling decomposition.  Only effective when
+        # this builder launches the JVM (in-process local mode);
+        # spark-submit runs pass the same conf on the command line.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     if master:
         builder = builder.master(master)

@@ -74,14 +74,18 @@ def gen_corpus(path: str) -> None:
     spark.stop()
 
 
-def run_full(cores: int, zip_path: str, inp: str, out: str) -> dict:
+def run_full(cores: int, zip_path: str, inp: str, out: str,
+             nosave: bool = False) -> dict:
     cmd = [
         "spark-submit", "--master", f"local[{cores}]", "--py-files", zip_path,
         "--conf", "spark.ui.enabled=false", "--driver-memory", "24g",
+        # throughput GC — same flag session.get_spark sets for
+        # in-process runs (BASELINE.md r5 decomposition)
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "bench/index_bench.py", "--input", inp, "--out", out,
         "--segments", "64", "--salt", "8", "--shuffle", str(cores * 4),
         "--route", ROUTE, "--layout", LAYOUT,
-    ]
+    ] + (["--nosave"] if nosave else [])
     res = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
                          timeout=3600)
     for line in res.stdout.splitlines()[::-1]:
@@ -119,13 +123,24 @@ def main() -> None:
     os.makedirs("/root/repo/dist", exist_ok=True)
     zip_path = package_zip("/root/repo/dist")
     work = tempfile.mkdtemp(prefix="scaling-")
-    corpus = os.path.join(work, "pages")
-    print(f"generating {N_DOCS} pages -> {corpus}", flush=True)
-    gen_corpus(corpus)
+    corpus = os.environ.get("SCALING_CORPUS", "")
+    if corpus and os.path.isdir(corpus):
+        print(f"reusing corpus {corpus}", flush=True)
+    else:
+        corpus = os.path.join(work, "pages")
+        print(f"generating {N_DOCS} pages -> {corpus}", flush=True)
+        gen_corpus(corpus)
 
     full_best: dict[int, dict] = {}
-    for cores in (N_LO, N_HI):
-        for rep in range(REPS):
+    # INTERLEAVE the two levels rep-by-rep: this shared virtualized box
+    # drifts minute-to-minute (same-binary swings up to 2.5x are on
+    # record), so running all local[4] reps in one time window and all
+    # local[16] reps in another would pair each level with a DIFFERENT
+    # noise environment.  Alternating samples both levels across the
+    # same windows; best-of-REPS then picks each level's quietest
+    # moment.
+    for rep in range(REPS):
+        for cores in (N_LO, N_HI):
             out = os.path.join(work, f"idx-{cores}-{rep}")
             r = run_full(cores, zip_path, corpus, out)
             print(f"full local[{cores}] rep{rep}: {r['docs_per_sec']} d/s",
@@ -134,6 +149,19 @@ def main() -> None:
                     r["docs_per_sec"] > full_best[cores]["docs_per_sec"]:
                 full_best[cores] = r
             shutil.rmtree(out, ignore_errors=True)
+
+    # compute-only decomposition: the identical fused build with a noop
+    # sink (all rows computed, no parquet encode / file commit) — shows
+    # how the pipeline scales net of the single shared output device
+    nosave_best: dict[int, float] = {}
+    for rep in range(max(1, REPS - 1)):
+        for cores in (N_LO, N_HI):
+            r = run_full(cores, zip_path, corpus,
+                         os.path.join(work, "x"), nosave=True)
+            nosave_best[cores] = max(nosave_best.get(cores, 0.0),
+                                     r["docs_per_sec"])
+            print(f"nosave local[{cores}] rep{rep}: {r['docs_per_sec']} d/s",
+                  flush=True)
 
     analysis = {c: round(run_analysis_only(c, corpus), 1)
                 for c in (N_LO, N_HI)}
@@ -159,6 +187,11 @@ def main() -> None:
         "analysis_docs_per_sec_N": analysis[N_LO],
         "analysis_docs_per_sec_4N": analysis[N_HI],
         "scaling_efficiency_analysis_stage": round(ana_eff, 3),
+        "nosave_docs_per_sec_N": round(nosave_best.get(N_LO, 0.0), 1),
+        "nosave_docs_per_sec_4N": round(nosave_best.get(N_HI, 0.0), 1),
+        "scaling_efficiency_compute_only": round(
+            nosave_best[N_HI] / (ratio * nosave_best[N_LO]), 3)
+        if nosave_best.get(N_LO) else None,
         "hardware_cpu_ceiling_efficiency": round(hw_ceiling, 3),
         "normalized_full": round(min(1.0, full_eff / hw_ceiling), 3),
         "normalized_analysis": round(min(1.0, ana_eff / hw_ceiling), 3),
