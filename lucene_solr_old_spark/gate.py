@@ -3973,6 +3973,80 @@ def _q_xml(spark, sf_dir):
                                    attrs=attrs, content_field="contents"))
 
 
+# ---- Beider-Morse phonetic search ----------------------------------------
+
+def _beidermorse_sql() -> str:
+    """Oracle: the SAME Python engine's expansions embedded as a literal
+    term map (the Spark side applies the engine inside the analyzer, so
+    this checks the index/scoring plumbing, not the encoder — the
+    encoder itself is diffed bit-exactly against the real commons-codec
+    PhoneticEngine in tests/test_beidermorse.py)."""
+    try:
+        from .functions.beidermorse import BeiderMorseEngine, bm_expand
+
+        eng = BeiderMorseEngine("gen", "approx", True)
+        vocab = _CORPUS_VOCAB + ["moskowitz", "moskovitz"]
+        rows = []
+        for w in vocab:
+            for enc in bm_expand(w, eng):
+                rows.append((w, enc))
+        qterms = bm_expand("moskowitz", eng)
+    except Exception:  # jar unreadable: keep gate importable (identity
+        rows = [(w, w) for w in _CORPUS_VOCAB]      # map; runtime query
+        qterms = ["moskowitz"]                      # would surface it)
+    smap = ",".join(f"('{a}','{b}')" for a, b in rows)
+    prelude = f"""
+raw AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(
+                   lower(text) || CASE WHEN doc_id % 5 = 0 THEN ' moskowitz'
+                                       WHEN doc_id % 5 = 1 THEN ' moskovitz'
+                                       ELSE '' END,
+                   ' '), x -> x <> '') AS toks
+        FROM documents)),
+smap(w, unit) AS (VALUES {smap}),
+tok AS (SELECT raw.doc_id, smap.unit AS term
+        FROM raw JOIN smap ON smap.w = raw.term),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT d.doc_id, count(t.term)::INT AS doclen
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+cs AS (SELECT (SELECT count(*) FROM documents) AS max_doc,
+              (SELECT count(*) FROM tok) AS sum_ttf),
+lqt(doclen, lq) AS (VALUES {_lq_values()})
+"""
+    return f"""WITH {prelude}, {_scored_cte(qterms)}
+SELECT doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20"""
+
+
+@_reg("beider_morse_search", _beidermorse_sql())
+def _q_beidermorse(spark, sf_dir):
+    # BeiderMorseFilter(GENERIC, APPROX, concat): docs spelled
+    # 'moskovitz' match the query 'moskowitz' through the 4 shared
+    # phonetic codes (w/v conflation) — the genealogy-matching use case
+    # the filter exists for
+    cache_key = (id(spark), f"{sf_dir}::beidermorse")
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" moskowitz"))
+                .when(F.col("doc_id") % 5 == 1, F.lit(" moskovitz"))
+                .otherwise(F.lit(""))).alias("text"))
+        _INDEX_CACHE[cache_key] = build_index(
+            docs, key_col="doc_key", text_col="text", num_segments=4,
+            analyzer="ws_bm").persist()
+    return _stable_topk(
+        S.search_or(_INDEX_CACHE[cache_key], "moskowitz",
+                    k=40, precision="float64"))
+
+
 # ---- multi-language ID ----------------------------------------------------
 
 def _langid_multi_sql() -> str:
@@ -5027,6 +5101,7 @@ _PRIORITY: list[str] = [
     # new in round 5 (never certified); names are filtered until their
     # gates register, so listing them before implementation is safe
     "dmetaphone_search", "xml_query", "morfologik_search",
+    "beider_morse_search",
     # implementation changed this round (terms_dict reroute of every
     # multi-term expansion; edismax mm built-clause fix; chunk trailing-
     # subset suppression; streaming stable packing; ANN index validation;
