@@ -180,4 +180,21 @@ def validate_index(index: InvertedIndex,
         stats_bad = ((F.col("max_doc") != F.col("d_max_doc"))
                      | (F.col("sum_ttf") != F.col("d_sum_ttf")))
     out["bad_segstats"] = int(joined.where(stats_bad).count())
+
+    # stored term-dictionary cross-check: a terms_dict (materialized at
+    # save, probed by every multi-term expansion) must equal the
+    # (term -> sum df, sum ttf) aggregation of the postings it was
+    # written from; a stale dict (e.g. segments appended outside
+    # save()) silently mis-prices fuzzy/wildcard expansions, so
+    # CheckIndex counts disagreeing-or-missing terms the same way it
+    # counts segstats drift.
+    if index._terms_dict is not None:
+        derived_td = index.postings.groupBy("term").agg(
+            F.sum("df").cast("long").alias("d_df"),
+            F.sum("ttf").cast("long").alias("d_ttf"))
+        td_join = index._terms_dict.join(derived_td, "term", "full")
+        out["bad_terms_dict"] = int(td_join.where(
+            F.col("df").isNull() | F.col("d_df").isNull()
+            | (F.col("df") != F.col("d_df"))
+            | (F.col("ttf") != F.col("d_ttf"))).count())
     return out

@@ -244,6 +244,7 @@ class InvertedIndex:
         with open(os.path.join(path, "index_meta.json"), "w") as f:
             json.dump({"analyzer": self.analyzer,
                        "with_positions": self.with_positions,
+                       "layout": layout,
                        "compressed": "blocks" in self.postings.columns}, f)
 
 

@@ -31,6 +31,27 @@ __all__ = ["start_incremental_indexer", "open_nrt_reader",
            "flush_index_batch"]
 
 
+def _require_segdir_layout(index_path: str) -> None:
+    """Appends write ``seg=`` partition directories; a ``packed``
+    (bulk-ingest) index stores plain range files, and Spark cannot read
+    a directory mixing both — so a packed target must be rejected UP
+    FRONT, not discovered as a corrupt read later (indexer.save
+    docstring: packed is write-once)."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_path, "index_meta.json")
+    if not os.path.exists(meta_path):
+        return  # fresh directory — this batch creates it as segdir
+    with open(meta_path) as f:
+        layout = json.load(f).get("layout", "segdir")
+    if layout != "segdir":
+        raise ValueError(
+            f"index at {index_path!r} has layout={layout!r}; incremental "
+            "appends require layout='segdir' (re-save the index with the "
+            "default layout, or bulk-rebuild instead of appending)")
+
+
 def flush_index_batch(batch_df: DataFrame, batch_id: int, index_path: str,
                       key_col: str = "url", text_col: str = "text",
                       html_col: str | None = None,
@@ -38,6 +59,7 @@ def flush_index_batch(batch_df: DataFrame, batch_id: int, index_path: str,
                       segments_per_batch: int = 2) -> None:
     """Build and publish one micro-batch's segments — idempotent per
     batch_id (safe under foreachBatch's at-least-once replay)."""
+    _require_segdir_layout(index_path)
     if batch_df.isEmpty():
         return
     idx = build_index(batch_df, key_col=key_col, text_col=text_col,

@@ -64,3 +64,36 @@ def test_offsets_index_validates(spark):
     report = validate_index(idx)
     assert all(v == 0 for v in report.values()), report
     assert "offset_count_mismatch" in report
+
+
+def test_terms_dict_cross_check(spark, tmp_path, idx):
+    """Saved index: stored terms_dict agrees with postings; a stale
+    dict (index mutated after save) is counted."""
+    from lucene_solr_old_spark.operators.indexer import load_index
+
+    p = str(tmp_path / "idx")
+    idx.save(p)
+    loaded = load_index(spark, p)
+    report = validate_index(loaded)
+    assert report["bad_terms_dict"] == 0, report
+
+    # staleness: drop one term's postings but keep the stored dict
+    victim = loaded.postings.select("term").first()["term"]
+    stale = InvertedIndex(
+        loaded.postings.where(F.col("term") != victim),
+        loaded.docmeta, loaded.segstats,
+        loaded.with_positions, loaded.analyzer)
+    stale._terms_dict = loaded._terms_dict
+    # docmeta/segstats checks still pass; the dict check must fire
+    assert validate_index(stale)["bad_terms_dict"] >= 1
+
+
+def test_append_rejects_packed_layout(spark, tmp_path, idx):
+    from lucene_solr_old_spark.streaming.incremental import flush_index_batch
+
+    p = str(tmp_path / "packedidx")
+    idx.save(p, layout="packed")
+    df = spark.createDataFrame(
+        [("u1", "some new page text")], "url string, text string")
+    with pytest.raises(ValueError, match="layout='segdir'"):
+        flush_index_batch(df, batch_id=1, index_path=p)
