@@ -982,6 +982,84 @@ def _q_fingerprint(spark, sf_dir):
     return TS.doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+# ---- BPE tokenizer (operators/bpe.py) ---------------------------------------
+
+from .operators import bpe as BPE  # noqa: E402
+
+# The scrub class is spelled with RE2 escape TEXT for the oracle (a raw
+# NUL can't sit in a DuckDB string literal; RE2 rejects \uXXXX but takes
+# \xhh and \x{hhhh}), while the Spark side (bpe._SENTINEL_SCRUB) carries
+# the raw code points — same character class in both engines.  The \x01-03
+# sentinels ARE embedded raw (verified fine in DuckDB literals).
+_BPE_SCRUB_SQL = (
+    "[" + "\\x00-\\x08" + "\\x0b" + "\\x0e-\\x1f" + "\\x7f"
+    + "\\x{0085}" + "\\x{2028}" + "\\x{2029}" + "]")
+_BPE_RE_SQL = BPE.PRETOKEN_RE
+_BPE_WORDS_SQL = (
+    f"regexp_extract_all(regexp_replace(lower(coalesce(text, '')), "
+    f"'{_BPE_SCRUB_SQL}', ' ', 'g'), '{_BPE_RE_SQL}')"
+)
+
+# Fixed merge table — a CONSTANT of the gate (like the stopword lists), so
+# the oracle is independent of the trainer under test; produced once by
+# bpe_train(word_counts(sf0.01 documents), 32) and frozen here.  Training
+# itself is verified in tests/test_bpe.py against a naive recount oracle
+# and the ACL-2016 worked example.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+]
+
+
+def _bpe_encode_sql() -> str:
+    s1, s2, s3 = BPE._S1, BPE._S2, BPE._S3
+    enc = "doc_str"
+    for a, b in _BPE_MERGES:
+        enc = f"replace({enc}, '{s2}{a}{s3}{s2}{b}{s3}', '{s2}{a}{b}{s3}')"
+    tok_re = f"{s2}([^{s3}]*){s3}"
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_BPE_WORDS_SQL} AS words FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(words, w ->
+           list_aggregate(list_transform(generate_series(1, length(w)),
+                                         i -> '{s2}'||w[i]||'{s3}'),
+                          'string_agg', '') || '{s2}</w>{s3}'),
+           'string_agg', '{s1}') AS doc_str
+  FROM w
+),
+m AS (SELECT doc_id, {enc} AS enc FROM s)
+SELECT doc_id,
+       coalesce(array_to_string(regexp_extract_all(enc, '{tok_re}', 1), ' '),
+                '') AS tokens_str,
+       coalesce(len(regexp_extract_all(enc, '{tok_re}', 1)), 0)::BIGINT
+         AS n_tokens
+FROM m ORDER BY doc_id"""
+
+
+@_reg("bpe_word_counts", f"""
+SELECT w AS word, count(*)::BIGINT AS count
+FROM (SELECT unnest({_BPE_WORDS_SQL}) AS w FROM documents)
+GROUP BY w ORDER BY word""")
+def _q_bpe_word_counts(spark, sf_dir):
+    return BPE.word_counts(_docs(spark, sf_dir)).orderBy("word")
+
+
+@_reg("bpe_encode", _bpe_encode_sql())
+def _q_bpe_encode(spark, sf_dir):
+    # the catalyst path (chained whole-stage-codegen replaces) — the pandas
+    # path is differentially tested equal in tests/test_bpe.py
+    return BPE.bpe_encode(_docs(spark, sf_dir), _BPE_MERGES,
+                          method="catalyst").orderBy("doc_id")
+
+
 # ---- boolean parser / kernel / multimodal -----------------------------------
 
 from .plans.query import execute as _execute_bool  # noqa: E402
@@ -5101,7 +5179,7 @@ _PRIORITY: list[str] = [
     # new in round 5 (never certified); names are filtered until their
     # gates register, so listing them before implementation is safe
     "dmetaphone_search", "xml_query", "morfologik_search",
-    "beider_morse_search",
+    "beider_morse_search", "bpe_word_counts", "bpe_encode",
     # implementation changed this round (terms_dict reroute of every
     # multi-term expansion; edismax mm built-clause fix; chunk trailing-
     # subset suppression; streaming stable packing; ANN index validation;
@@ -5124,10 +5202,11 @@ _PRIORITY: list[str] = [
     "doc_fingerprint", "expand_groups", "langid", "match_all_count",
     "min_should_match", "minhash_lsh_pairs",
     "ngram_jaccard", "ngram_jaccard_capped", "prefix_query",
-    "quality_score", "range_query", "search_after_page2", "simhash_bands",
+    "quality_score", "range_query",
     # -- window OVERFLOW (positions 51+): previously certified (r2-r4);
     # re-enter on the r6 rotation; never-certified gates must NOT sit
     # here.  Green in the local check_gate sweep meanwhile. --
+    "search_after_page2", "simhash_bands",
     "stats_percentiles", "token_count",
     "ivf_search", "wand_topk", "tfidf_topk", "versioned_upsert",
     "span_near", "postings_highlight", "facet_interval", "nb_classify",
