@@ -194,6 +194,27 @@ def main() -> None:
     extras["clean_docs_per_sec"] = round(n_pages / timings["clean_300k"], 1)
     extras["clean_kept_docs"] = kept_docs
 
+    # BPE tokenizer over the full page corpus: learn a 1k-merge table from
+    # the corpus word-count shuffle, then encode every page on the
+    # word-memoized Arrow path (the production-vocabulary path)
+    from lucene_solr_old_spark.operators import bpe as B
+
+    def bpe_train_stage():
+        wc = B.word_counts(pages, key_col="url", text_col="text")
+        return B.bpe_train(wc, 1000, min_count=2)
+
+    merges = timed("bpe_train", bpe_train_stage)
+    extras["bpe_merges"] = len(merges)
+
+    def bpe_encode_stage():
+        out = B.bpe_encode(pages, merges, key_col="url", text_col="text",
+                           method="pandas")
+        return int(out.agg(F.sum("n_tokens")).first()[0])
+
+    extras["bpe_tokens"] = timed("bpe_encode_300k", bpe_encode_stage)
+    extras["bpe_docs_per_sec"] = round(
+        n_pages / timings["bpe_encode_300k"], 1)
+
     # early-terminated sorted top-k over the synthetic pages (index-time
     # sort paid once, then seg_pos<k prune) vs the full global sort
     from lucene_solr_old_spark.operators.earlyterm import (
