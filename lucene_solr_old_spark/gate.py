@@ -1060,6 +1060,39 @@ def _q_bpe_encode(spark, sf_dir):
                           method="catalyst").orderBy("doc_id")
 
 
+# ---- WARC content source (sources/warc.py) ----------------------------------
+#
+# Round-trip gate: the documents table is serialized as a spec-compliant
+# .warc.gz (one gzip member per HTTP-200 response record, deterministic
+# bytes), read back through the Spark WARC source, and must reproduce the
+# table exactly — so the oracle is simply the documents table.  Absolute
+# format correctness (spec shapes, multi-member gzip, truncation, binary
+# payloads) is fixture-tested in tests/test_warc.py.
+
+@_reg("warc_roundtrip", """
+SELECT doc_id, coalesce(text, '') AS text_rt, 200::BIGINT AS http_status
+FROM documents ORDER BY doc_id""")
+def _q_warc_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from .sources.warc import build_warc, read_warc
+
+    rows = (_docs(spark, sf_dir).select("doc_id", "text")
+            .orderBy("doc_id").collect())
+    blob = build_warc((str(r["doc_id"]), r["text"]) for r in rows)
+    tmp = tempfile.mkdtemp(prefix="warc_gate_")
+    with open(os.path.join(tmp, "docs.warc.gz"), "wb") as fh:
+        fh.write(blob)
+    out = read_warc(spark, tmp)
+    return (out.select(
+        F.element_at(F.split("target_uri", "/"), -1).cast("long")
+        .alias("doc_id"),
+        F.col("html").alias("text_rt"),
+        F.col("http_status").cast("long").alias("http_status"))
+        .orderBy("doc_id"))
+
+
 # ---- boolean parser / kernel / multimodal -----------------------------------
 
 from .plans.query import execute as _execute_bool  # noqa: E402
@@ -5180,6 +5213,7 @@ _PRIORITY: list[str] = [
     # gates register, so listing them before implementation is safe
     "dmetaphone_search", "xml_query", "morfologik_search",
     "beider_morse_search", "bpe_word_counts", "bpe_encode",
+    "warc_roundtrip",
     # implementation changed this round (terms_dict reroute of every
     # multi-term expansion; edismax mm built-clause fix; chunk trailing-
     # subset suppression; streaming stable packing; ANN index validation;
@@ -5202,11 +5236,11 @@ _PRIORITY: list[str] = [
     "doc_fingerprint", "expand_groups", "langid", "match_all_count",
     "min_should_match", "minhash_lsh_pairs",
     "ngram_jaccard", "ngram_jaccard_capped", "prefix_query",
-    "quality_score", "range_query",
+    "quality_score",
     # -- window OVERFLOW (positions 51+): previously certified (r2-r4);
     # re-enter on the r6 rotation; never-certified gates must NOT sit
     # here.  Green in the local check_gate sweep meanwhile. --
-    "search_after_page2", "simhash_bands",
+    "range_query", "search_after_page2", "simhash_bands",
     "stats_percentiles", "token_count",
     "ivf_search", "wand_topk", "tfidf_topk", "versioned_upsert",
     "span_near", "postings_highlight", "facet_interval", "nb_classify",

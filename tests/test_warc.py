@@ -1,0 +1,113 @@
+"""WARC source: spec-level codec round-trips, multi-member gzip, HTTP
+parsing, truncation tolerance, and the Spark reader end-to-end over a
+written .warc.gz."""
+
+import gzip
+import os
+
+import pytest
+
+from lucene_solr_old_spark.sources.warc import (
+    build_warc, iter_warc_records, parse_http_response, read_warc,
+    warc_record_bytes)
+
+
+def test_record_bytes_spec_shape():
+    raw = warc_record_bytes("response", "http://x/1",
+                            "2020-01-01T00:00:00Z", b"PAYLOAD",
+                            record_id="urn:x:1", gzip_member=False)
+    assert raw.startswith(b"WARC/1.0\r\n")
+    assert b"WARC-Type: response\r\n" in raw
+    assert b"Content-Length: 7\r\n" in raw
+    assert raw.endswith(b"\r\n\r\nPAYLOAD\r\n\r\n")
+
+
+def test_iter_plain_and_gzip_roundtrip():
+    recs = [("a", "hello world"), ("b", "x\r\ny\nz"), ("c", "")]
+    for gz in (False, True):
+        blob = build_warc(recs, gzip_members=gz)
+        got = list(iter_warc_records(blob))
+        assert len(got) == 3
+        for (key, text), (h, payload) in zip(recs, got):
+            assert h["warc-type"] == "response"
+            assert h["warc-target-uri"] == f"https://corpus.local/doc/{key}"
+            assert h["warc-version"] == "WARC/1.0"
+            status, ctype, body = parse_http_response(payload)
+            assert status == 200
+            assert ctype == "text/plain; charset=utf-8"
+            assert body.decode("utf-8") == text
+
+
+def test_gzip_members_are_independent():
+    # each record its own member: slicing one member still parses
+    blob1 = build_warc([("a", "one")])
+    blob2 = build_warc([("b", "two")])
+    both = blob1 + blob2
+    assert [h["warc-target-uri"] for h, _ in iter_warc_records(both)] == \
+        ["https://corpus.local/doc/a", "https://corpus.local/doc/b"]
+    assert len(list(iter_warc_records(blob1))) == 1
+
+
+def test_mixed_record_types_and_binary_payload():
+    img = bytes(range(256))
+    rec_meta = warc_record_bytes("metadata", None, "2020-01-01T00:00:00Z",
+                                 b"k: v", record_id="urn:m:1",
+                                 content_type="application/warc-fields",
+                                 gzip_member=False)
+    rec_img = warc_record_bytes("resource", "http://x/img",
+                                "2020-01-01T00:00:00Z", img,
+                                record_id="urn:i:1",
+                                content_type="image/png",
+                                gzip_member=False)
+    got = list(iter_warc_records(rec_meta + rec_img))
+    assert [h["warc-type"] for h, _ in got] == ["metadata", "resource"]
+    assert got[1][1] == img
+
+
+def test_truncated_tail_drops_last_record_only():
+    blob = build_warc([("a", "first record"), ("b", "second record")],
+                      gzip_members=False)
+    cut = blob[:len(blob) - 25]  # slice into b's payload
+    got = list(iter_warc_records(cut))
+    assert len(got) == 1
+    assert got[0][0]["warc-target-uri"].endswith("/a")
+
+
+def test_parse_http_response_edges():
+    assert parse_http_response(b"no split here") == (None, None,
+                                                     b"no split here")
+    s, c, b = parse_http_response(b"HTTP/1.1 301 Moved\r\n"
+                                  b"Location: x\r\n\r\nbody")
+    assert (s, c, b) == (301, None, b"body")
+    s, c, b = parse_http_response(b"HTTP/1.1 noint x\r\n\r\n")
+    assert s is None
+
+
+def test_read_warc_spark(spark, tmp_path):
+    docs = [(f"d{i:03d}", f"document {i} body text\nline two {i}")
+            for i in range(40)]
+    p1 = tmp_path / "part1.warc.gz"
+    p1.write_bytes(build_warc(docs[:25]))
+    p2 = tmp_path / "part2.warc"
+    p2.write_bytes(build_warc(docs[25:], gzip_members=False))
+    (tmp_path / "ignored.txt").write_text("not a warc")
+
+    df = read_warc(spark, str(tmp_path), batch_size=7)
+    rows = {r["target_uri"].rsplit("/", 1)[1]: r for r in df.collect()}
+    assert len(rows) == 40
+    for key, text in docs:
+        r = rows[key]
+        assert r["html"] == text
+        assert r["http_status"] == 200
+        assert r["warc_type"] == "response"
+        assert r["http_content_type"] == "text/plain; charset=utf-8"
+        assert r["record_id"] == f"urn:corpus:{key}"
+        assert r["warc_date"] == "2020-01-01T00:00:00Z"
+    # record_types filter drops everything when nothing matches
+    assert read_warc(spark, str(tmp_path),
+                     record_types=("request",)).count() == 0
+
+
+def test_read_warc_deterministic_bytes():
+    # mtime pinned: identical input -> identical .warc.gz bytes
+    assert build_warc([("k", "v")]) == build_warc([("k", "v")])
