@@ -37,8 +37,9 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "iter_warc_records", "warc_record_bytes",
-           "build_warc", "parse_http_response"]
+__all__ = ["read_warc", "read_wet", "iter_warc_records",
+           "warc_record_bytes", "build_warc", "build_wet",
+           "parse_http_response"]
 
 _CRLF = b"\r\n"
 
@@ -237,3 +238,32 @@ def read_warc(spark: SparkSession, path: str,
 
 _WARC_COLS = ["path", "record_id", "warc_type", "target_uri", "warc_date",
               "http_status", "http_content_type", "html"]
+
+
+def read_wet(spark: SparkSession, path: str,
+             batch_size: int = 256) -> DataFrame:
+    """(path, record_id, target_uri, warc_date, text) — Common Crawl WET
+    (extracted-text) files: the same WARC container whose ``conversion``
+    records carry the already-extracted plain text as the payload.  Same
+    execution shape as :func:`read_warc`."""
+    from pyspark.sql import functions as F
+    out = read_warc(spark, path, record_types=("conversion",),
+                    batch_size=batch_size)
+    return out.select("path", "record_id", "target_uri", "warc_date",
+                      F.col("html").alias("text"))
+
+
+def build_wet(docs, base_uri: str = "https://corpus.local/doc/",
+              date: str = "2020-01-01T00:00:00Z",
+              gzip_members: bool = True) -> bytes:
+    """Serialize ``(doc_key, text)`` pairs as WET ``conversion`` records
+    (deterministic bytes; the writer dual of :func:`read_wet`)."""
+    out = io.BytesIO()
+    for key, text in docs:
+        out.write(warc_record_bytes(
+            "conversion", f"{base_uri}{key}", date,
+            (text or "").encode("utf-8"),
+            record_id=f"urn:corpus:{key}",
+            content_type="text/plain",
+            gzip_member=gzip_members))
+    return out.getvalue()

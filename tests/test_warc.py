@@ -111,3 +111,15 @@ def test_read_warc_spark(spark, tmp_path):
 def test_read_warc_deterministic_bytes():
     # mtime pinned: identical input -> identical .warc.gz bytes
     assert build_warc([("k", "v")]) == build_warc([("k", "v")])
+
+
+def test_read_wet_spark(spark, tmp_path):
+    from lucene_solr_old_spark.sources.warc import build_wet, read_wet
+    docs = [("w1", "extracted text one"), ("w2", "zeile zwei\numbruch")]
+    (tmp_path / "seg.warc.wet.gz").write_bytes(build_wet(docs))
+    rows = {r["target_uri"].rsplit("/", 1)[1]: r["text"]
+            for r in read_wet(spark, str(tmp_path)).collect()}
+    assert rows == dict(docs)
+    # conversion records are invisible to the default response reader
+    from lucene_solr_old_spark.sources.warc import read_warc
+    assert read_warc(spark, str(tmp_path)).count() == 0
