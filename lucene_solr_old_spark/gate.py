@@ -1093,6 +1093,42 @@ def _q_warc_roundtrip(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+@_reg("cdx_roundtrip", """
+SELECT doc_id,
+       'local,corpus)/doc/' || doc_id AS urlkey,
+       coalesce(text, '') AS text_rt,
+       200::BIGINT AS status
+FROM documents ORDER BY doc_id""")
+def _q_cdx_roundtrip(spark, sf_dir):
+    """CDX random-access certification: documents -> .warc.gz + CDXJ index
+    (writer emits byte-accurate member offsets), the index is read back
+    through the Spark CDX source, and every record is re-fetched via its
+    (offset, length) byte range — text equality with the table proves the
+    whole index->fetch path."""
+    from .sources.warc import (build_warc_with_cdx, fetch_record,
+                               parse_http_response, read_cdx)
+    import os
+    import tempfile
+
+    rows = (_docs(spark, sf_dir).select("doc_id", "text")
+            .orderBy("doc_id").collect())
+    warc, cdx = build_warc_with_cdx(
+        (str(r["doc_id"]), r["text"]) for r in rows)
+    tmp = tempfile.mkdtemp(prefix="cdx_gate_")
+    with open(os.path.join(tmp, "index.cdx"), "w") as fh:
+        fh.write(cdx)
+    idx = read_cdx(spark, os.path.join(tmp, "index.cdx")).collect()
+    out = []
+    for r in idx:
+        headers, payload = fetch_record(warc, r["offset"], r["length"])
+        status, _ct, body = parse_http_response(payload)
+        out.append((int(headers["warc-target-uri"].rsplit("/", 1)[1]),
+                    r["urlkey"], body.decode("utf-8"), int(status)))
+    return spark.createDataFrame(
+        out, "doc_id LONG, urlkey STRING, text_rt STRING, status LONG"
+    ).orderBy("doc_id")
+
+
 # ---- boolean parser / kernel / multimodal -----------------------------------
 
 from .plans.query import execute as _execute_bool  # noqa: E402
@@ -5213,7 +5249,7 @@ _PRIORITY: list[str] = [
     # gates register, so listing them before implementation is safe
     "dmetaphone_search", "xml_query", "morfologik_search",
     "beider_morse_search", "bpe_word_counts", "bpe_encode",
-    "warc_roundtrip",
+    "warc_roundtrip", "cdx_roundtrip",
     # implementation changed this round (terms_dict reroute of every
     # multi-term expansion; edismax mm built-clause fix; chunk trailing-
     # subset suppression; streaming stable packing; ANN index validation;
@@ -5236,11 +5272,10 @@ _PRIORITY: list[str] = [
     "doc_fingerprint", "expand_groups", "langid", "match_all_count",
     "min_should_match", "minhash_lsh_pairs",
     "ngram_jaccard", "ngram_jaccard_capped", "prefix_query",
-    "quality_score",
     # -- window OVERFLOW (positions 51+): previously certified (r2-r4);
     # re-enter on the r6 rotation; never-certified gates must NOT sit
     # here.  Green in the local check_gate sweep meanwhile. --
-    "range_query", "search_after_page2", "simhash_bands",
+    "quality_score", "range_query", "search_after_page2", "simhash_bands",
     "stats_percentiles", "token_count",
     "ivf_search", "wand_topk", "tfidf_topk", "versioned_upsert",
     "span_near", "postings_highlight", "facet_interval", "nb_classify",

@@ -37,8 +37,9 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "read_wet", "iter_warc_records",
+__all__ = ["read_warc", "read_wet", "read_cdx", "iter_warc_records",
            "warc_record_bytes", "build_warc", "build_wet",
+           "build_warc_with_cdx", "fetch_record", "surt_key",
            "parse_http_response"]
 
 _CRLF = b"\r\n"
@@ -238,6 +239,103 @@ def read_warc(spark: SparkSession, path: str,
 
 _WARC_COLS = ["path", "record_id", "warc_type", "target_uri", "warc_date",
               "http_status", "http_content_type", "html"]
+
+
+# --------------------------------------------------------------------------
+# CDX(J) index — Common Crawl's URL index for random access into WARC
+# --------------------------------------------------------------------------
+#
+# A CDXJ line is ``<urlkey> <timestamp> <json>`` where the JSON block
+# carries url/mime/status/digest plus the WARC locator triplet
+# (filename, offset, length).  Because every ``.warc.gz`` record is its
+# own gzip member, ``bytes[offset : offset+length]`` is a complete
+# compressed record — the index turns the archive into a random-access
+# store (the pywb / Common Crawl access pattern).
+
+import json as _json
+
+
+def surt_key(url: str) -> str:
+    """SURT-style canonical sort key: host reversed comma-wise +
+    ')' + path, lowercased, scheme/port/www stripped (the Common Crawl
+    urlkey convention)."""
+    u = url.strip().lower()
+    for scheme in ("https://", "http://"):
+        if u.startswith(scheme):
+            u = u[len(scheme):]
+            break
+    host, slash, rest = u.partition("/")
+    host = host.split("@")[-1].split(":")[0]
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split("."))) + ")/" + rest
+
+
+def build_warc_with_cdx(docs, filename: str = "docs.warc.gz",
+                        base_uri: str = "https://corpus.local/doc/",
+                        date: str = "2020-01-01T00:00:00Z",
+                        timestamp: str = "20200101000000",
+                        status: int = 200,
+                        content_type: str = "text/plain; charset=utf-8"
+                        ) -> tuple[bytes, str]:
+    """(warc_bytes, cdx_text): the .warc.gz plus its CDXJ index with
+    byte-accurate (offset, length) per record — the writer knows member
+    boundaries, so the index is exact by construction (tested by
+    re-fetching every record through :func:`fetch_record`)."""
+    warc = io.BytesIO()
+    lines = []
+    for key, text in docs:
+        uri = f"{base_uri}{key}"
+        member = build_warc([(key, text)], base_uri=base_uri, date=date,
+                            status=status, content_type=content_type,
+                            gzip_members=True)
+        offset = warc.tell()
+        warc.write(member)
+        meta = {"url": uri, "mime": content_type.split(";")[0],
+                "status": str(status),
+                "length": str(len(member)), "offset": str(offset),
+                "filename": filename}
+        lines.append(f"{surt_key(uri)} {timestamp} "
+                     f"{_json.dumps(meta, sort_keys=True)}")
+    return warc.getvalue(), "\n".join(lines) + ("\n" if lines else "")
+
+
+CDX_SCHEMA = ("urlkey STRING, timestamp STRING, url STRING, mime STRING, "
+              "status INT, length LONG, offset LONG, filename STRING")
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """(urlkey, timestamp, url, mime, status, length, offset, filename)
+    from CDXJ index files — plain line-splittable text, so this parses at
+    scan speed with zero Python: split off the two space-delimited fields,
+    ``from_json`` the rest."""
+    from pyspark.sql import functions as F
+    raw = spark.read.text(path).where(F.trim("value") != "")
+    urlkey = F.substring_index("value", " ", 1)
+    ts = F.element_at(F.split("value", " ", 3), 2)
+    blob = F.element_at(F.split("value", " ", 3), 3)
+    j = F.from_json(blob, "url STRING, mime STRING, status STRING, "
+                          "length STRING, offset STRING, filename STRING")
+    return raw.select(
+        urlkey.alias("urlkey"), ts.alias("timestamp"),
+        j["url"].alias("url"), j["mime"].alias("mime"),
+        j["status"].cast("int").alias("status"),
+        j["length"].cast("long").alias("length"),
+        j["offset"].cast("long").alias("offset"),
+        j["filename"].alias("filename"))
+
+
+def fetch_record(warc_bytes: bytes, offset: int,
+                 length: int) -> tuple[dict, bytes]:
+    """Random-access fetch: inflate ONE record from its (offset, length)
+    slice of a .warc.gz — the byte-range access pattern the CDX index
+    exists for (no scan of the surrounding file)."""
+    got = list(iter_warc_records(warc_bytes[offset:offset + length]))
+    if len(got) != 1:
+        raise ValueError(
+            f"slice at offset={offset} length={length} contained "
+            f"{len(got)} records, expected exactly 1")
+    return got[0]
 
 
 def read_wet(spark: SparkSession, path: str,

@@ -123,3 +123,50 @@ def test_read_wet_spark(spark, tmp_path):
     # conversion records are invisible to the default response reader
     from lucene_solr_old_spark.sources.warc import read_warc
     assert read_warc(spark, str(tmp_path)).count() == 0
+
+
+def test_surt_key():
+    from lucene_solr_old_spark.sources.warc import surt_key
+    assert surt_key("https://www.Example.COM/a/b?q=1") == \
+        "com,example)/a/b?q=1"
+    assert surt_key("http://sub.host.org:8080/") == "org,host,sub)/"
+    assert surt_key("https://user@x.net") == "net,x)/"
+
+
+def test_cdx_offsets_random_access():
+    from lucene_solr_old_spark.sources.warc import (
+        build_warc_with_cdx, fetch_record, parse_http_response)
+    import json
+    docs = [(f"k{i}", f"payload number {i} " * (i + 1)) for i in range(12)]
+    warc, cdx = build_warc_with_cdx(docs)
+    lines = cdx.strip().split("\n")
+    assert len(lines) == 12
+    for (key, text), line in zip(docs, lines):
+        meta = json.loads(line.split(" ", 2)[2])
+        h, payload = fetch_record(warc, int(meta["offset"]),
+                                  int(meta["length"]))
+        assert h["warc-target-uri"].endswith("/" + key)
+        _, _, body = parse_http_response(payload)
+        assert body.decode("utf-8") == text
+    # offsets tile the file exactly
+    metas = [json.loads(l.split(" ", 2)[2]) for l in lines]
+    assert int(metas[0]["offset"]) == 0
+    end = int(metas[-1]["offset"]) + int(metas[-1]["length"])
+    assert end == len(warc)
+
+
+def test_read_cdx_spark(spark, tmp_path):
+    from lucene_solr_old_spark.sources.warc import (
+        build_warc_with_cdx, read_cdx)
+    docs = [(f"c{i}", f"text {i}") for i in range(9)]
+    warc, cdx = build_warc_with_cdx(docs, filename="f.warc.gz")
+    (tmp_path / "index.cdx").write_text(cdx)
+    rows = read_cdx(spark, str(tmp_path / "index.cdx")) \
+        .orderBy("offset").collect()
+    assert len(rows) == 9
+    assert rows[0]["offset"] == 0 and rows[0]["status"] == 200
+    assert rows[0]["urlkey"] == "local,corpus)/doc/c0"
+    assert rows[0]["filename"] == "f.warc.gz"
+    assert all(r["mime"] == "text/plain" for r in rows)
+    # lengths sum to the archive size (contiguous members)
+    assert sum(r["length"] for r in rows) == len(warc)
