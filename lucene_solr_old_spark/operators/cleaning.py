@@ -150,14 +150,18 @@ def gopher_quality_filter(docs: DataFrame, key_col: str = "doc_id",
                           min_mean_len: float = 3.0,
                           max_mean_len: float = 10.0,
                           min_alpha_frac: float = 0.8,
-                          min_stop_hits: int = 2) -> DataFrame:
+                          min_stop_hits: int = 2,
+                          stop_words: tuple = GOPHER_STOPS) -> DataFrame:
     """(key, n_words, mean_word_len, alpha_frac, stop_hits, keep) — the
     Gopher document-quality rules (Rae et al. 2021 §A1.1):
 
       * ``min_words <= n_words <= max_words``,
       * mean word length in ``[min_mean_len, max_mean_len]``,
       * >= ``min_alpha_frac`` of words contain an alphabetic character,
-      * >= ``min_stop_hits`` distinct hits from the required stop-word set.
+      * >= ``min_stop_hits`` distinct hits from the required stop-word set
+        (``stop_words``; the paper's English eight by default — pass the
+        target language's function words for non-English corpora, as
+        :func:`..pipelines.web_to_training_data` does).
 
     (The companion repetition rules live in
     :func:`..textstats.repetition_stats`.)  Pure per-row Catalyst — no
@@ -176,7 +180,7 @@ def gopher_quality_filter(docs: DataFrame, key_col: str = "doc_id",
         .otherwise(F.lit(0.0))
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(words),
-        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+        F.array(*[F.lit(s) for s in stop_words])))
     keep = ((n >= F.lit(min_words)) & (n <= F.lit(max_words))
             & (mean_len >= F.lit(min_mean_len))
             & (mean_len <= F.lit(max_mean_len))

@@ -1,0 +1,180 @@
+"""End-to-end web-crawl -> training-data pipeline: the standard
+pre-training recipe (CCNet / C4 / Gopher / RefinedWeb lineage) composed
+from this engine's operators into one lazy plan chain:
+
+  WARC ingest -> HTML text extraction -> language ID -> PII scrub ->
+  C4 line filter -> Gopher quality -> exact dedup -> MinHash-LSH
+  near-dup clustering -> (optional) benchmark decontamination ->
+  train/val/test split -> BPE tokenization -> sequence packing.
+
+Everything stays a DataFrame until the caller acts, with two documented
+exceptions: near-dup connected components iterates (label propagation
+materializes per round), and BPE training collects the bounded word-type
+table.  Per-step scale shapes are documented on the underlying operators
+(:mod:`.sources.warc`, :mod:`.operators.cleaning`,
+:mod:`.operators.dedup`, :mod:`.operators.bpe`,
+:mod:`.operators.packing`); this module adds NO new shuffles beyond the
+sum of its steps — it only wires outputs to inputs, so the composed
+pipeline inherits their 100 TB behavior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import bpe as _bpe
+from .operators import cleaning as _cleaning
+from .operators import dedup as _dedup
+from .operators import packing as _packing
+from .operators import textstats as _textstats
+from .operators.analysis import make_html_extractor
+from .operators.sampling import hash_split
+from .sources.warc import read_warc
+
+__all__ = ["web_to_training_data", "WebPipelineResult"]
+
+
+def _gopher_stops(lang: str | None) -> tuple:
+    """Gopher's required-stopword rule is language-specific: the paper's
+    English eight for en (and for lang=None, where the corpus is mixed and
+    the rule degrades to an any-language prose check is NOT safe — English
+    is kept as the documented default), else the target language's
+    function-word markers (the same shortest-25 sets langid uses)."""
+    if lang in (None, "en"):
+        return _cleaning.GOPHER_STOPS
+    from .functions.lang import (FRENCH_STOP_WORDS, GERMAN_STOP_WORDS,
+                                 SPANISH_STOP_WORDS)
+    sets = {"de": GERMAN_STOP_WORDS, "es": SPANISH_STOP_WORDS,
+            "fr": FRENCH_STOP_WORDS}
+    if lang not in sets:
+        raise ValueError(
+            f"no function-word profile for lang={lang!r}: pass docs "
+            f"through gopher_quality_filter(stop_words=...) directly")
+    return tuple(sorted(sets[lang], key=lambda w: (len(w), w))[:25])
+
+
+@dataclass
+class WebPipelineResult:
+    """Stage outputs (lazy DataFrames) + the learned merge table."""
+    raw: DataFrame              # (url, html, text) as ingested
+    clean: DataFrame            # (url, text, lang, split) survivors
+    encoded: DataFrame          # (url, split, tokens_str, n_tokens)
+    packed: DataFrame           # train-split packs from pack_sequences
+    merges: list = field(default_factory=list)
+
+    def summary(self) -> dict:
+        """Counts per stage (runs jobs)."""
+        tok = self.encoded.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens")).first()
+        return {
+            "raw_docs": self.raw.count(),
+            "clean_docs": self.clean.count(),
+            "encoded_docs": int(tok["docs"]),
+            "total_tokens": int(tok["tokens"] or 0),
+            "train_packs": self.packed.count(),
+            "bpe_merges": len(self.merges),
+        }
+
+
+def web_to_training_data(spark: SparkSession, warc_path: str, *,
+                         lang: str | None = "en",
+                         min_words: int = 20,
+                         min_lines: int = 2,
+                         num_merges: int = 1000,
+                         merges: list | None = None,
+                         max_tokens: int = 2048,
+                         minhash_hashes: int = 8,
+                         shingle_n: int = 3,
+                         benchmark: DataFrame | None = None,
+                         splits: dict[str, float] | None = None
+                         ) -> WebPipelineResult:
+    """Run the full crawl->training-data recipe over ``.warc(.gz)`` files.
+
+    ``lang=None`` skips language filtering; ``merges`` short-circuits BPE
+    training with a pre-learned table; ``benchmark`` (a (doc_id, text)
+    frame of eval sets) enables 13-gram decontamination.  Packing uses
+    the BPE token counts (``tokens_str`` is space-joined subwords, so the
+    packer's whitespace counting IS the subword count).
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    # 1. ingest + text extraction (one Arrow pass appends `text`)
+    pages = (read_warc(spark, warc_path)
+             .where(F.col("http_status") == 200)
+             .select(F.col("target_uri").alias("url"), "html"))
+    raw = pages.mapInPandas(make_html_extractor("html"),
+                            schema="url STRING, html STRING, text STRING")
+
+    # 2. language ID (stopword profiles; zero shuffle)
+    docs = raw.select("url", "text")
+    lid = _textstats.langid_profile(docs, key_col="url", text_col="text")
+    docs = docs.join(lid.select("url", F.col("pred").alias("lang")), "url")
+    if lang is not None:
+        docs = docs.where(F.col("lang") == lang)
+
+    # 3. scrub + line filter + quality (all per-row Catalyst)
+    p = _cleaning.pii_scrub(docs, key_col="url", text_col="text") \
+        .select("url", F.col("text_clean").alias("text"))
+    c4 = _cleaning.c4_line_filter(p, key_col="url", text_col="text",
+                                  min_lines=min_lines)
+    kept = c4.where("page_keep") \
+        .select("url", F.col("text_clean").alias("text"))
+    g = _cleaning.gopher_quality_filter(kept, key_col="url",
+                                        text_col="text",
+                                        min_words=min_words,
+                                        stop_words=_gopher_stops(lang))
+    docs = kept.join(g.where("keep").select("url"), "url") \
+        .join(docs.select("url", "lang"), "url")
+
+    # 4. exact dedup: keep the canonical survivor per normalized text
+    groups = _dedup.exact_dedup_groups(docs, key_col="url",
+                                       text_col="text")
+    docs = docs.join(
+        groups.select(F.col("keeper").alias("url")), "url")
+
+    # 5. near-dup clustering (MinHash -> LSH bands -> components);
+    #    keep one representative per cluster.  NOTE: iterative step.
+    toks = _dedup.ws_tokens(docs, key_col="url", text_col="text")
+    sigs = _dedup.minhash_signatures(toks, n_hashes=minhash_hashes,
+                                     shingle_n=shingle_n)
+    pairs = _dedup.lsh_candidate_pairs(sigs)
+    comps = _dedup.connected_components(
+        pairs, docs.select("url"), vertex_col="url")
+    keep = _dedup.dup_representatives(comps).where("keep") \
+        .select(F.col("id").alias("url"))
+    docs = docs.join(keep, "url")
+
+    # 6. optional benchmark decontamination (broadcast n-gram semi-join);
+    #    the benchmark's first two columns are taken as (key, text)
+    if benchmark is not None:
+        bc = benchmark.columns
+        bnorm = benchmark.select(F.col(bc[0]).alias("url"),
+                                 F.col(bc[1]).alias("text"))
+        flags = _dedup.decontaminate(docs, bnorm, key_col="url",
+                                     text_col="text")
+        docs = docs.join(
+            flags.where(~F.col("contaminated")).select("url"), "url")
+
+    # 7. disjoint-exhaustive split
+    clean = hash_split(docs, splits, key_col="url")
+
+    # 8. BPE: learn on the clean corpus (bounded type-table collect),
+    #    encode on the memoized Arrow path
+    if merges is None:
+        wc = _bpe.word_counts(clean, key_col="url", text_col="text")
+        merges = _bpe.bpe_train(wc, num_merges, min_count=2)
+    encoded = _bpe.bpe_encode(clean, merges, key_col="url",
+                              text_col="text", method="pandas") \
+        .join(clean.select("url", "split"), "url")
+
+    # 9. pack the train split to the context budget (subword counts:
+    #    tokens_str is space-joined subwords)
+    packed = _packing.pack_sequences(
+        encoded.where(F.col("split") == "train"), max_tokens,
+        key_col="url", text_col="tokens_str")
+
+    return WebPipelineResult(raw=raw, clean=clean, encoded=encoded,
+                             packed=packed, merges=list(merges))
