@@ -316,6 +316,14 @@ def bpe_encode(docs: DataFrame, merges: Iterable[tuple[str, str]],
     picks by table size.  The two are differentially tested equal.
     """
     merges = [tuple(p) for p in merges]
+    for a, b in merges:
+        bad = set(a + b) & set(_S1 + _S2 + _S3 + " \t\n\r\f\v")
+        if bad or not a or not b:
+            raise ValueError(
+                f"merge pair ({a!r}, {b!r}) contains whitespace/sentinel "
+                f"characters or an empty symbol — symbols must come from "
+                f"pretokenized (whitespace-free, scrubbed) words, as "
+                f"bpe_train produces")
     if method == "auto":
         method = "catalyst" if len(merges) <= 400 else "pandas"
     if method == "catalyst":

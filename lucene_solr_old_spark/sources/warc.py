@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["read_warc", "read_wet", "read_cdx", "iter_warc_records",
            "warc_record_bytes", "build_warc", "build_wet",
            "build_warc_with_cdx", "fetch_record", "surt_key",
+           "read_warc_stream",
            "parse_http_response"]
 
 _CRLF = b"\r\n"
@@ -186,21 +187,8 @@ WARC_SCHEMA = ("path STRING, record_id STRING, warc_type STRING, "
                "http_status INT, http_content_type STRING, html STRING")
 
 
-def read_warc(spark: SparkSession, path: str,
-              record_types: tuple[str, ...] = ("response",),
-              batch_size: int = 256) -> DataFrame:
-    """(path, record_id, warc_type, target_uri, warc_date, http_status,
-    http_content_type, html) — one row per WARC record of the requested
-    types across every ``.warc`` / ``.warc.gz`` under ``path``.
-
-    ``html`` is the HTTP entity body (or the raw payload for non-HTTP
-    records) decoded utf-8-replace — ready for
-    :func:`...functions.htmlstrip.html_to_text`.  One task per file
-    (WARC is not splittable); records stream out of the lazy gzip reader
-    in ``batch_size`` Arrow batches, bounding memory at compressed-file
-    + one batch.
-    """
-    types = {t.lower() for t in record_types} if record_types else None
+def _make_warc_parser(types: set | None, batch_size: int):
+    """mapInPandas stage shared by the batch and streaming readers."""
 
     def parse(batches):
         import pandas as pd
@@ -216,20 +204,37 @@ def read_warc(spark: SparkSession, path: str,
                         status, http_ct, body = parse_http_response(payload)
                     else:
                         status, http_ct, body = None, None, payload
-                    rid = headers.get("warc-record-id", "").strip("<>")
                     rows.append((
-                        fpath, rid, wtype,
-                        headers.get("warc-target-uri"),
-                        headers.get("warc-date"),
-                        status, http_ct,
+                        fpath,
+                        headers.get("warc-record-id", "").strip("<>"),
+                        wtype, headers.get("warc-target-uri"),
+                        headers.get("warc-date"), status, http_ct,
                         body.decode("utf-8", "replace")))
                     if len(rows) >= batch_size:
-                        yield pd.DataFrame(
-                            rows, columns=_WARC_COLS)
+                        yield pd.DataFrame(rows, columns=_WARC_COLS)
                         rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=_WARC_COLS)
 
+    return parse
+
+
+def read_warc(spark: SparkSession, path: str,
+              record_types: tuple[str, ...] = ("response",),
+              batch_size: int = 256) -> DataFrame:
+    """(path, record_id, warc_type, target_uri, warc_date, http_status,
+    http_content_type, html) — one row per WARC record of the requested
+    types across every ``.warc`` / ``.warc.gz`` under ``path``.
+
+    ``html`` is the HTTP entity body (or the raw payload for non-HTTP
+    records) decoded utf-8-replace — ready for
+    :func:`...functions.htmlstrip.html_to_text`.  One task per file
+    (WARC is not splittable); records stream out of the lazy gzip reader
+    in ``batch_size`` Arrow batches, bounding memory at compressed-file
+    + one batch.
+    """
+    types = {t.lower() for t in record_types} if record_types else None
+    parse = _make_warc_parser(types, batch_size)
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc*")
              .load(path)
@@ -239,6 +244,28 @@ def read_warc(spark: SparkSession, path: str,
 
 _WARC_COLS = ["path", "record_id", "warc_type", "target_uri", "warc_date",
               "http_status", "http_content_type", "html"]
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     record_types: tuple[str, ...] = ("response",),
+                     batch_size: int = 256) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: new ``.warc(.gz)`` files
+    landing under ``path`` become micro-batches of parsed records — the
+    continuous-crawl ingest front of the streaming pipeline (compose with
+    :mod:`...streaming.pipeline` dedup / first-seen state and the NRT
+    index appends).  Same per-file parallelism and record-batch memory
+    bound; the parse is a stateless map, so no watermark is needed here.
+    """
+    types = {t.lower() for t in record_types} if record_types else None
+    parse = _make_warc_parser(types, batch_size)
+
+    files = (spark.readStream.format("binaryFile")
+             .schema("path STRING, modificationTime TIMESTAMP, "
+                     "length LONG, content BINARY")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -196,3 +196,10 @@ def test_train_from_dataframe_deterministic(spark, docs_df):
     m1 = bpe_train(wc, 12, min_count=2)
     m2 = bpe_train(wc.repartition(7), 12, min_count=2)
     assert m1 == m2
+
+
+def test_encode_rejects_bad_merge_symbols(spark, docs_df):
+    import pytest as _pytest
+    for bad in [[("a", "b c")], [("a", "")], [("\x02", "x")]]:
+        with _pytest.raises(ValueError):
+            bpe_encode(docs_df, bad)

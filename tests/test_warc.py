@@ -170,3 +170,25 @@ def test_read_cdx_spark(spark, tmp_path):
     assert all(r["mime"] == "text/plain" for r in rows)
     # lengths sum to the archive size (contiguous members)
     assert sum(r["length"] for r in rows) == len(warc)
+
+
+def test_read_warc_stream(spark, tmp_path):
+    from lucene_solr_old_spark.sources.warc import read_warc_stream
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    (src_dir / "b1.warc.gz").write_bytes(build_warc([("s1", "first")]))
+    stream = read_warc_stream(spark, str(src_dir))
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("warc_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["target_uri"]: r["html"]
+           for r in spark.sql("SELECT * FROM warc_sink").collect()}
+    assert got == {"https://corpus.local/doc/s1": "first"}
+    # a new file landing = a new micro-batch, no reprocessing of b1
+    (src_dir / "b2.warc.gz").write_bytes(build_warc([("s2", "second")]))
+    q2 = (stream.writeStream.format("memory").queryName("warc_sink2")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT target_uri FROM warc_sink2").collect()
+    assert {r["target_uri"].rsplit("/", 1)[1] for r in rows} == {"s1", "s2"}
