@@ -89,8 +89,8 @@ def web_to_training_data(spark: SparkSession, warc_path: str, *,
                          minhash_hashes: int = 8,
                          shingle_n: int = 3,
                          benchmark: DataFrame | None = None,
-                         splits: dict[str, float] | None = None
-                         ) -> WebPipelineResult:
+                         splits: dict[str, float] | None = None,
+                         persist: bool = True) -> WebPipelineResult:
     """Run the full crawl->training-data recipe over ``.warc(.gz)`` files.
 
     ``lang=None`` skips language filtering; ``merges`` short-circuits BPE
@@ -158,8 +158,14 @@ def web_to_training_data(spark: SparkSession, warc_path: str, *,
         docs = docs.join(
             flags.where(~F.col("contaminated")).select("url"), "url")
 
-    # 7. disjoint-exhaustive split
+    # 7. disjoint-exhaustive split; persisted by default — `clean` feeds
+    #    THREE consumers (BPE training, encoding, the packer's split
+    #    filter) and sits above the whole scrub/dedup chain, so without a
+    #    persist every downstream action re-runs the pipeline end-to-end
+    #    (persist=False opts out for single-pass writes at cluster scale)
     clean = hash_split(docs, splits, key_col="url")
+    if persist:
+        clean = clean.persist()
 
     # 8. BPE: learn on the clean corpus (bounded type-table collect),
     #    encode on the memoized Arrow path
