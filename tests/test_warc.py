@@ -192,3 +192,54 @@ def test_read_warc_stream(spark, tmp_path):
     q2.awaitTermination(120)
     rows = spark.sql("SELECT target_uri FROM warc_sink2").collect()
     assert {r["target_uri"].rsplit("/", 1)[1] for r in rows} == {"s1", "s2"}
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure codec, no Spark)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.lists(st.tuples(
+        st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1, max_size=12),
+        st.text(max_size=400)), min_size=0, max_size=8),
+        st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def test_prop_roundtrip(docs, gz):
+        # unique keys (duplicate keys are fine for WARC, but make the
+        # equality check unambiguous)
+        seen, uniq = set(), []
+        for k, t in docs:
+            if k not in seen:
+                seen.add(k)
+                uniq.append((k, t))
+        blob = build_warc(uniq, gzip_members=gz)
+        got = list(iter_warc_records(blob))
+        assert len(got) == len(uniq)
+        for (k, t), (h, payload) in zip(uniq, got):
+            assert h["warc-target-uri"].endswith("/" + k)
+            _s, _c, body = parse_http_response(payload)
+            assert body.decode("utf-8") == t
+
+    @given(st.binary(min_size=0, max_size=300))
+    @settings(max_examples=80, deadline=None)
+    def test_prop_garbage_never_raises(junk):
+        # arbitrary bytes: the iterator terminates without raising
+        assert isinstance(list(iter_warc_records(junk)), list)
+
+    @given(st.integers(min_value=0, max_value=10_000),
+           st.binary(min_size=1, max_size=4))
+    @settings(max_examples=60, deadline=None)
+    def test_prop_corruption_never_raises(pos, patch):
+        blob = bytearray(build_warc(
+            [("a", "first text here."), ("b", "second text here.")],
+            gzip_members=False))
+        pos = pos % len(blob)
+        blob[pos:pos + len(patch)] = patch
+        out = list(iter_warc_records(bytes(blob)))
+        assert len(out) <= 2
+
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass
