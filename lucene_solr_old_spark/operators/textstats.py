@@ -10,7 +10,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.stopwords import ENGLISH_STOP_WORDS
 
 __all__ = ["token_counts", "langid_en", "quality_score", "doc_fingerprint",
-           "repetition_stats", "normalize_url", "langid_profile"]
+           "repetition_stats", "normalize_url", "langid_profile",
+           "all_language_profiles"]
 
 def _stop_arr():
     # built lazily: Column literals need an active SparkContext
@@ -167,6 +168,37 @@ def normalize_url(docs: DataFrame, url_col: str = "url",
         F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"),
                                                             canon_q)))
     return docs.withColumn(out_col, out)
+
+
+def all_language_profiles(n_markers: int = 25) -> dict[str, list[str]]:
+    """Function-word marker profiles for EVERY language the engine ships
+    a stop set for (24 incl. English) — pass as
+    ``langid_profile(profiles=all_language_profiles())`` for wide-net
+    language ID, or one entry as a Gopher ``stop_words`` set.  Opt-in by
+    design: ``langid_profile``'s default stays the certified 4-language
+    profile, so existing predictions (and the langid_multi gate) are
+    unchanged.  Markers = the ``n_markers`` shortest stop words (length
+    then lexicographic), the same rule the default profile uses."""
+    from ..functions import lang as L
+    from ..functions.greek import GREEK_STOP_WORDS
+    from ..functions.lang2 import (ARMENIAN_STOP_WORDS, BASQUE_STOP_WORDS,
+                                   CATALAN_STOP_WORDS)
+
+    sets = {
+        "ar": L.ARABIC_STOP_WORDS, "ca": CATALAN_STOP_WORDS,
+        "cs": L.CZECH_STOP_WORDS, "da": L.DANISH_STOP_WORDS,
+        "de": L.GERMAN_STOP_WORDS, "el": GREEK_STOP_WORDS,
+        "en": ENGLISH_STOP_WORDS, "es": L.SPANISH_STOP_WORDS,
+        "eu": BASQUE_STOP_WORDS, "fi": L.FINNISH_STOP_WORDS,
+        "fr": L.FRENCH_STOP_WORDS, "ga": L.IRISH_STOP_WORDS,
+        "hu": L.HUNGARIAN_STOP_WORDS, "hy": ARMENIAN_STOP_WORDS,
+        "it": L.ITALIAN_STOP_WORDS, "nl": L.DUTCH_STOP_WORDS,
+        "no": L.NORWEGIAN_STOP_WORDS, "pt": L.PORTUGUESE_STOP_WORDS,
+        "ro": L.ROMANIAN_STOP_WORDS, "ru": L.RUSSIAN_STOP_WORDS,
+        "sv": L.SWEDISH_STOP_WORDS, "tr": L.TURKISH_STOP_WORDS,
+    }
+    return {code: sorted(words, key=lambda w: (len(w), w))[:n_markers]
+            for code, words in sets.items() if words}
 
 
 def langid_profile(docs: DataFrame, key_col: str = "doc_id",

@@ -38,21 +38,19 @@ __all__ = ["web_to_training_data", "WebPipelineResult"]
 
 def _gopher_stops(lang: str | None) -> tuple:
     """Gopher's required-stopword rule is language-specific: the paper's
-    English eight for en (and for lang=None, where the corpus is mixed and
-    the rule degrades to an any-language prose check is NOT safe — English
-    is kept as the documented default), else the target language's
-    function-word markers (the same shortest-25 sets langid uses)."""
+    English eight for en (and for lang=None, where the corpus is mixed —
+    English is kept as the documented default), else the target
+    language's function-word markers (the shortest-25 sets langid uses,
+    any of the ~24 languages the engine ships stop sets for)."""
     if lang in (None, "en"):
         return _cleaning.GOPHER_STOPS
-    from .functions.lang import (FRENCH_STOP_WORDS, GERMAN_STOP_WORDS,
-                                 SPANISH_STOP_WORDS)
-    sets = {"de": GERMAN_STOP_WORDS, "es": SPANISH_STOP_WORDS,
-            "fr": FRENCH_STOP_WORDS}
-    if lang not in sets:
+    profiles = _textstats.all_language_profiles()
+    if lang not in profiles:
         raise ValueError(
-            f"no function-word profile for lang={lang!r}: pass docs "
-            f"through gopher_quality_filter(stop_words=...) directly")
-    return tuple(sorted(sets[lang], key=lambda w: (len(w), w))[:25])
+            f"no function-word profile for lang={lang!r} (have "
+            f"{sorted(profiles)}): pass docs through "
+            f"gopher_quality_filter(stop_words=...) directly")
+    return tuple(profiles[lang])
 
 
 @dataclass

@@ -151,3 +151,28 @@ def test_lang_none_keeps_all_languages_before_gopher(spark, warc_dir,
         merges=result.merges, max_tokens=64)
     langs = {r["lang"] for r in r4.clean.select("lang").collect()}
     assert langs == {"en"}
+
+
+def test_all_language_profiles(spark):
+    from lucene_solr_old_spark.operators.textstats import (
+        all_language_profiles, langid_profile)
+    prof = all_language_profiles()
+    assert len(prof) >= 20 and all(prof.values())
+    assert {"en", "de", "ru", "tr", "pt", "el"} <= set(prof)
+    df = spark.createDataFrame(
+        [(0, "il gatto dorme sulla sedia e non vuole scendere mai"),
+         (1, "он сказал что это было очень хорошо и все согласились"),
+         (2, "the cat sleeps on the chair and it will not come down")],
+        "doc_id INT, text STRING")
+    got = {r["doc_id"]: r["pred"]
+           for r in langid_profile(df, profiles=prof).collect()}
+    assert got == {0: "it", 1: "ru", 2: "en"}
+
+
+def test_gopher_stops_wide(spark):
+    from lucene_solr_old_spark.pipelines import _gopher_stops
+    import pytest as _pytest
+    assert len(_gopher_stops("ru")) > 0
+    assert _gopher_stops(None) == _gopher_stops("en")
+    with _pytest.raises(ValueError):
+        _gopher_stops("zz")
