@@ -203,3 +203,8 @@ def test_encode_rejects_bad_merge_symbols(spark, docs_df):
     for bad in [[("a", "b c")], [("a", "")], [("\x02", "x")]]:
         with _pytest.raises(ValueError):
             bpe_encode(docs_df, bad)
+
+
+def test_word_counts_plan_map_side_combine(spark, docs_df):
+    plan = word_counts(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan  # map-side combine before the shuffle

@@ -243,3 +243,13 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the image
     pass
+
+
+def test_read_cdx_plan_codegen_only(spark, tmp_path):
+    from lucene_solr_old_spark.sources.warc import (
+        build_warc_with_cdx, read_cdx)
+    _w, cdx = build_warc_with_cdx([("p", "q")])
+    (tmp_path / "i.cdx").write_text(cdx)
+    plan = read_cdx(spark, str(tmp_path / "i.cdx")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
