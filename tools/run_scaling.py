@@ -82,6 +82,8 @@ def run_full(cores: int, zip_path: str, inp: str, out: str,
         # throughput GC — same flag session.get_spark sets for
         # in-process runs (BASELINE.md r5 decomposition)
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+        # zstd sink: fewer bytes onto the bottleneck disk (see session.py)
+        "--conf", "spark.sql.parquet.compression.codec=zstd",
         "bench/index_bench.py", "--input", inp, "--out", out,
         "--segments", "64", "--salt", "8", "--shuffle", str(cores * 4),
         "--route", ROUTE, "--layout", LAYOUT,
