@@ -993,7 +993,9 @@ from .operators import bpe as BPE  # noqa: E402
 # sentinels ARE embedded raw (verified fine in DuckDB literals).
 _BPE_SCRUB_SQL = (
     "[" + "\\x00-\\x08" + "\\x0b" + "\\x0e-\\x1f" + "\\x7f"
-    + "\\x{0085}" + "\\x{2028}" + "\\x{2029}" + "]")
+    + "\\x{0085}" + "\\x{00a0}" + "\\x{1680}"
+    + "\\x{2000}-\\x{200a}" + "\\x{2028}" + "\\x{2029}"
+    + "\\x{202f}" + "\\x{205f}" + "\\x{3000}" + "]")
 _BPE_RE_SQL = BPE.PRETOKEN_RE
 _BPE_WORDS_SQL = (
     f"regexp_extract_all(regexp_replace(lower(coalesce(text, '')), "

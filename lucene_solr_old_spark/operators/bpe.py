@@ -80,11 +80,16 @@ EOW = "</w>"
 # replace cannot merge across word boundaries.  Input text has the
 # sentinel range replaced by spaces first (defensive; real control chars
 # in web text act as separators), along with the code points where
-# java.util.regex and RE2 disagree about ``\s`` / ``.`` (\x0b, \x7f, NEL,
-# LS, PS) — so Spark and a DuckDB oracle pre-tokenize identically;
-# \t \n \f \r survive (whitespace in BOTH engines).
+# java.util.regex (ASCII ``\s``), RE2 (ASCII ``\s``) and Python re
+# (UNICODE ``\s``) disagree: \x0b, \x7f, NEL, NBSP, OGHAM, the U+2000
+# block, LS, PS, NNBSP, MMSP, IDEOGRAPHIC SPACE — so the Catalyst path,
+# a DuckDB oracle, AND the pandas (Python re) path pre-tokenize
+# identically; \t \n \f \r and the ASCII space survive (whitespace in
+# ALL three engines).  NBSP is ubiquitous web text (&nbsp;), so turning
+# it into a separator is also the semantically right call.
 _S1, _S2, _S3 = "\x01", "\x02", "\x03"
-_SENTINEL_SCRUB = "[\x00-\x08\x0b\x0e-\x1f\x7f\u0085\u2028\u2029]"
+_SENTINEL_SCRUB = ("[\x00-\x08\x0b\x0e-\x1f\x7f\u0085\u00a0"
+                   "\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]")
 
 
 def _words_col(text_col):

@@ -172,7 +172,7 @@ def normalize_url(docs: DataFrame, url_col: str = "url",
 
 def all_language_profiles(n_markers: int = 25) -> dict[str, list[str]]:
     """Function-word marker profiles for EVERY language the engine ships
-    a stop set for (24 incl. English) — pass as
+    a stop set for (22 incl. English) — pass as
     ``langid_profile(profiles=all_language_profiles())`` for wide-net
     language ID, or one entry as a Gopher ``stop_words`` set.  Opt-in by
     design: ``langid_profile``'s default stays the certified 4-language

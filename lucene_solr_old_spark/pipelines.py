@@ -41,7 +41,7 @@ def _gopher_stops(lang: str | None) -> tuple:
     English eight for en (and for lang=None, where the corpus is mixed —
     English is kept as the documented default), else the target
     language's function-word markers (the shortest-25 sets langid uses,
-    any of the ~24 languages the engine ships stop sets for)."""
+    any of the 22 languages the engine ships stop sets for)."""
     if lang in (None, "en"):
         return _cleaning.GOPHER_STOPS
     profiles = _textstats.all_language_profiles()
@@ -99,18 +99,37 @@ def web_to_training_data(spark: SparkSession, warc_path: str, *,
     """
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
 
-    # 1. ingest + text extraction (one Arrow pass appends `text`)
-    pages = (read_warc(spark, warc_path)
-             .where(F.col("http_status") == 200)
-             .select(F.col("target_uri").alias("url"), "html"))
+    # 1. ingest + deterministic capture selection + text extraction.
+    #    Real crawls revisit URLs (recrawls, multi-segment overlaps);
+    #    every later stage joins on url, so duplicates would multiply
+    #    rows through the chain.  Keep the EARLIEST capture per url —
+    #    min(warc_date, record_id, html) is a total order, so the
+    #    survivor is a pure function of the crawl content.  One shuffle.
+    hits = (read_warc(spark, warc_path)
+            .where(F.col("http_status") == 200)
+            .select(F.col("target_uri").alias("url"), "warc_date",
+                    "record_id", "html"))
+    pages = (hits.groupBy("url")
+             .agg(F.min(F.struct("warc_date", "record_id", "html"))
+                  .alias("_cap"))
+             .select("url", F.col("_cap.html").alias("html")))
     raw = pages.mapInPandas(make_html_extractor("html"),
                             schema="url STRING, html STRING, text STRING")
 
-    # 2. language ID (stopword profiles; zero shuffle)
+    # 2. language ID over EVERY language the engine ships stop sets for
+    #    (the default 4-language profile would silently empty the corpus
+    #    for any other target lang); zero shuffle
     docs = raw.select("url", "text")
-    lid = _textstats.langid_profile(docs, key_col="url", text_col="text")
+    lid = _textstats.langid_profile(
+        docs, key_col="url", text_col="text",
+        profiles=_textstats.all_language_profiles())
     docs = docs.join(lid.select("url", F.col("pred").alias("lang")), "url")
     if lang is not None:
+        profiles = _textstats.all_language_profiles()
+        if lang not in profiles:
+            raise ValueError(
+                f"lang={lang!r} has no language-ID profile (have "
+                f"{sorted(profiles)}); pass lang=None and filter yourself")
         docs = docs.where(F.col("lang") == lang)
 
     # 3. scrub + line filter + quality (all per-row Catalyst)

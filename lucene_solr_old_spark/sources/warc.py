@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,29 +83,40 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
     else:
         fh = io.BytesIO(data)
     while True:
-        # seek the version line (skip inter-record CRLFs)
-        version = None
-        while True:
-            line = fh.readline()
-            if not line:
-                return
-            if line.strip() == b"":
-                continue
-            if line.startswith(b"WARC/"):
-                version = line.decode("ascii", "replace").strip()
-                break
-            return  # not a record boundary: stop at garbage
-        headers, ok = _read_headers(fh)
-        if not ok:
-            return
-        headers["warc-version"] = version
+        # every stream read can blow up on a truncated/corrupt gzip
+        # member (EOFError mid-member, BadGzipFile/OSError on trailing
+        # garbage, zlib.error on bit rot) — all map to "the tail of this
+        # file is gone", same as the plain-bytes truncation below
         try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
+            # seek the version line (skip inter-record CRLFs)
+            version = None
+            while True:
+                line = fh.readline()
+                if not line:
+                    return
+                if line.strip() == b"":
+                    continue
+                if line.startswith(b"WARC/"):
+                    version = line.decode("ascii", "replace").strip()
+                    break
+                return  # not a record boundary: stop at garbage
+            headers, ok = _read_headers(fh)
+            if not ok:
+                return
+            headers["warc-version"] = version
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                return
+            if length < 0:
+                # read(-1) would slurp the rest of the stream as one
+                # garbage payload, swallowing every following record
+                return
+            payload = fh.read(length)
+            if len(payload) < length:
+                return  # truncated
+        except (OSError, EOFError, zlib.error):
             return
-        payload = fh.read(length)
-        if len(payload) < length:
-            return  # truncated
         yield headers, payload
 
 

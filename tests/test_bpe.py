@@ -208,3 +208,20 @@ def test_encode_rejects_bad_merge_symbols(spark, docs_df):
 def test_word_counts_plan_map_side_combine(spark, docs_df):
     plan = word_counts(docs_df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan, plan  # map-side combine before the shuffle
+
+
+def test_unicode_whitespace_parity(spark):
+    # NBSP / ideographic space: Python \\s (unicode) vs Java/RE2 \\s
+    # (ascii) diverge — the scrub must make all three paths agree
+    df = spark.createDataFrame(
+        [(0, "a\u00a0b c\u3000d e\u0085f gh"),
+         (1, "nb\u00a0sp everywhere\u202fhere")],
+        "doc_id INT, text STRING")
+    merges = [("a", "b"), ("s", "p")]
+    a = {r["doc_id"]: (r["tokens_str"], r["n_tokens"])
+         for r in bpe_encode(df, merges, method="catalyst").collect()}
+    b = {r["doc_id"]: (r["tokens_str"], r["n_tokens"])
+         for r in bpe_encode(df, merges, method="pandas").collect()}
+    assert a == b
+    wc = {r["word"]: r["count"] for r in word_counts(df).collect()}
+    assert "a\u00a0b" not in wc and wc["b"] == 1 and wc["nb"] == 1

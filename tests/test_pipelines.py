@@ -176,3 +176,47 @@ def test_gopher_stops_wide(spark):
     assert _gopher_stops(None) == _gopher_stops("en")
     with _pytest.raises(ValueError):
         _gopher_stops("zz")
+
+
+def test_duplicate_url_captures_collapse(spark, tmp_path):
+    # the same URL captured twice (recrawl): exactly one row survives,
+    # carrying the EARLIEST capture — and no row multiplication happens
+    from lucene_solr_old_spark.sources.warc import warc_record_bytes
+    import io
+    body_old = _en(2).encode()
+    body_new = _en(3).encode()
+
+    def resp(body, rid, date):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        return warc_record_bytes("response", "https://x.com/page", date,
+                                 http, record_id=rid)
+
+    blob = (resp(body_new, "urn:r:2", "2021-06-01T00:00:00Z")
+            + resp(body_old, "urn:r:1", "2020-01-01T00:00:00Z"))
+    d = tmp_path / "dup"
+    d.mkdir()
+    (d / "c.warc.gz").write_bytes(blob)
+    r = web_to_training_data(spark, str(d), min_words=5, min_lines=1,
+                             num_merges=8, max_tokens=64)
+    rows = r.clean.collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == _en(2)  # earliest warc_date wins
+
+
+def test_lang_it_via_wide_profiles(spark, tmp_path):
+    # a language outside the old default 4-profile set flows end-to-end
+    from lucene_solr_old_spark.sources.warc import build_warc
+    it_text = ("il vecchio mulino gira piano e la ruota di legno canta "
+               "con la corrente del fiume che non si ferma mai.")
+    d = tmp_path / "it"
+    d.mkdir()
+    (d / "c.warc.gz").write_bytes(build_warc(
+        [("it1", it_text), ("en1", _en(0))]))
+    r = web_to_training_data(spark, str(d), lang="it", min_words=5,
+                             min_lines=1, num_merges=8, max_tokens=64)
+    urls = {row["url"].rsplit("/", 1)[1] for row in r.clean.collect()}
+    assert urls == {"it1"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        web_to_training_data(spark, str(d), lang="zz", min_words=5)

@@ -253,3 +253,31 @@ def test_read_cdx_plan_codegen_only(spark, tmp_path):
     plan = read_cdx(spark, str(tmp_path / "i.cdx")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+def test_gzip_truncation_drops_tail_not_raises():
+    blob = build_warc([("a", "first record text"), ("b", "second text")])
+    for cut in (10, 25, len(blob) - 5, len(blob) - 30):
+        got = list(iter_warc_records(blob[:cut]))  # must not raise
+        assert len(got) <= 2
+    # trailing garbage after a valid member: keep the valid record
+    good = build_warc([("a", "only record")])
+    got = list(iter_warc_records(good + b"trailing junk not gzip"))
+    assert len(got) == 1
+    # gzip magic + junk: no records, no exception
+    assert list(iter_warc_records(b"\x1f\x8bjunk")) == []
+
+
+def test_negative_content_length_does_not_swallow():
+    rec_bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Record-ID: <urn:x:bad>\r\n"
+               b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+               b"Content-Type: application/http\r\n"
+               b"Content-Length: -1\r\n\r\n")
+    rec_good = warc_record_bytes("response", "http://x/g",
+                                 "2020-01-01T00:00:00Z", b"ok",
+                                 record_id="urn:x:g", gzip_member=False)
+    got = list(iter_warc_records(rec_bad + rec_good))
+    # the corrupt record ends iteration; it must NOT emit a garbage
+    # payload containing the good record's bytes
+    assert all(b"urn:x:g" not in p for _h, p in got)
