@@ -281,3 +281,44 @@ def test_negative_content_length_does_not_swallow():
     # the corrupt record ends iteration; it must NOT emit a garbage
     # payload containing the good record's bytes
     assert all(b"urn:x:g" not in p for _h, p in got)
+
+
+def test_streaming_warc_to_nrt_index(spark, tmp_path):
+    """Composition: streaming WARC ingest feeding the NRT incremental
+    indexer — new crawl files land, segments publish idempotently, a
+    re-opened reader sees the new docs (the SearcherManager pattern)."""
+    from lucene_solr_old_spark.sources.warc import read_warc_stream
+    from lucene_solr_old_spark.streaming.incremental import (
+        open_nrt_reader, start_incremental_indexer)
+    from lucene_solr_old_spark.operators import search as S
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    (crawl / "b1.warc.gz").write_bytes(build_warc(
+        [("d1", "zebra stripes pattern on the savanna."),
+         ("d2", "giraffe necks reach the high leaves.")]))
+    stream = read_warc_stream(spark, str(crawl)) \
+        .selectExpr("target_uri AS url", "html AS text")
+    q = start_incremental_indexer(stream, index, ckpt, key_col="url",
+                                  text_col="text", analyzer="ws_lower")
+    q.awaitTermination(180)
+
+    idx = open_nrt_reader(spark, index, analyzer="ws_lower")
+    hit1 = S.search_or(idx, "zebra", k=5).collect()
+    assert len(hit1) == 1 and hit1[0]["key"].endswith("/d1")
+
+    # a new crawl file lands; restart from the same checkpoint
+    (crawl / "b2.warc.gz").write_bytes(build_warc(
+        [("d3", "zebra crossings paint the city street.")]))
+    q2 = start_incremental_indexer(stream, index, ckpt, key_col="url",
+                                   text_col="text", analyzer="ws_lower")
+    q2.awaitTermination(180)
+
+    idx2 = open_nrt_reader(spark, index, analyzer="ws_lower")
+    keys = sorted(r["key"].rsplit("/", 1)[1]
+                  for r in S.search_or(idx2, "zebra", k=5).collect())
+    assert keys == ["d1", "d3"]
+    assert idx2.docmeta.count() == 3  # checkpoint prevented reprocessing
