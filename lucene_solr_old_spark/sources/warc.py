@@ -197,10 +197,16 @@ def parse_http_response(payload: bytes) -> tuple[int | None, str | None,
 WARC_SCHEMA = ("path STRING, record_id STRING, warc_type STRING, "
                "target_uri STRING, warc_date STRING, "
                "http_status INT, http_content_type STRING, html STRING")
+# with keep_payload=True: the raw entity-body bytes travel as a BINARY
+# column — the lossless path for non-text responses (images/audio/pdf),
+# which utf-8-replace decoding would mangle; feeds operators/multimodal
+WARC_SCHEMA_BIN = WARC_SCHEMA + ", payload BINARY"
 
 
-def _make_warc_parser(types: set | None, batch_size: int):
+def _make_warc_parser(types: set | None, batch_size: int,
+                      keep_payload: bool = False):
     """mapInPandas stage shared by the batch and streaming readers."""
+    cols = _WARC_COLS + (["payload"] if keep_payload else [])
 
     def parse(batches):
         import pandas as pd
@@ -216,24 +222,27 @@ def _make_warc_parser(types: set | None, batch_size: int):
                         status, http_ct, body = parse_http_response(payload)
                     else:
                         status, http_ct, body = None, None, payload
-                    rows.append((
+                    row = (
                         fpath,
                         headers.get("warc-record-id", "").strip("<>"),
                         wtype, headers.get("warc-target-uri"),
                         headers.get("warc-date"), status, http_ct,
-                        body.decode("utf-8", "replace")))
+                        body.decode("utf-8", "replace"))
+                    rows.append(row + (bytearray(body),)
+                                if keep_payload else row)
                     if len(rows) >= batch_size:
-                        yield pd.DataFrame(rows, columns=_WARC_COLS)
+                        yield pd.DataFrame(rows, columns=cols)
                         rows = []
                 if rows:
-                    yield pd.DataFrame(rows, columns=_WARC_COLS)
+                    yield pd.DataFrame(rows, columns=cols)
 
     return parse
 
 
 def read_warc(spark: SparkSession, path: str,
               record_types: tuple[str, ...] = ("response",),
-              batch_size: int = 256) -> DataFrame:
+              batch_size: int = 256,
+              keep_payload: bool = False) -> DataFrame:
     """(path, record_id, warc_type, target_uri, warc_date, http_status,
     http_content_type, html) — one row per WARC record of the requested
     types across every ``.warc`` / ``.warc.gz`` under ``path``.
@@ -244,14 +253,20 @@ def read_warc(spark: SparkSession, path: str,
     (WARC is not splittable); records stream out of the lazy gzip reader
     in ``batch_size`` Arrow batches, bounding memory at compressed-file
     + one batch.
+
+    ``keep_payload=True`` adds the raw entity-body bytes as a BINARY
+    ``payload`` column — the lossless route for image/audio/pdf
+    responses (a utf-8-replace string mangles them); compose with
+    :mod:`...operators.multimodal` for sniffing and feature extraction.
     """
     types = {t.lower() for t in record_types} if record_types else None
-    parse = _make_warc_parser(types, batch_size)
+    parse = _make_warc_parser(types, batch_size, keep_payload)
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc*")
              .load(path)
              .select("path", "content"))
-    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+    return files.mapInPandas(
+        parse, schema=WARC_SCHEMA_BIN if keep_payload else WARC_SCHEMA)
 
 
 _WARC_COLS = ["path", "record_id", "warc_type", "target_uri", "warc_date",

@@ -322,3 +322,24 @@ def test_streaming_warc_to_nrt_index(spark, tmp_path):
                   for r in S.search_or(idx2, "zebra", k=5).collect())
     assert keys == ["d1", "d3"]
     assert idx2.docmeta.count() == 3  # checkpoint prevented reprocessing
+
+
+def test_keep_payload_binary_lossless(spark, tmp_path):
+    from lucene_solr_old_spark.sources.warc import warc_record_bytes
+    img = bytes(range(256)) * 4  # every byte value: utf-8 decode mangles
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+            + f"Content-Length: {len(img)}\r\n\r\n".encode() + img)
+    (tmp_path / "img.warc.gz").write_bytes(warc_record_bytes(
+        "response", "http://x/i.png", "2020-01-01T00:00:00Z", http,
+        record_id="urn:i:1"))
+    row = read_warc(spark, str(tmp_path), keep_payload=True).first()
+    assert bytes(row["payload"]) == img
+    assert row["http_content_type"] == "image/png"
+    # default stays payload-free (no binary column shipped)
+    assert "payload" not in read_warc(spark, str(tmp_path)).columns
+    # the multimodal sniffer composes on the payload column
+    from lucene_solr_old_spark.operators.multimodal import sniff_media_meta
+    df = read_warc(spark, str(tmp_path), keep_payload=True) \
+        .selectExpr("target_uri AS key", "payload")
+    meta = sniff_media_meta(df).first()
+    assert meta["format"] is not None or meta["n_bytes"] == len(img)
