@@ -75,11 +75,23 @@ class Bm25Stats:
         self.b = np.float32(b)
         self.avgdl = avgdl(self.sum_ttf, self.max_doc)
         self.cache = bm25_cache(self.avgdl, self.k1, self.b)
+        self._wcache: dict[tuple[int, float], np.float32] = {}
 
     def idf(self, df) -> np.float32:
         return idf(df, self.max_doc)
 
     def weight_value(self, df, boost: float = 1.0) -> np.float32:
+        """boost * idf(df) * (k1+1), memoized per (df, boost) for scalar df
+        — the idf log dominates the per-call cost of driver-side scoring
+        loops and repeats endlessly for the same document frequencies."""
+        if isinstance(df, (int, np.integer)):
+            key = (int(df), float(boost))
+            hit = self._wcache.get(key)
+            if hit is None:
+                hit = np.float32(boost) * self.idf(df) * (self.k1 + np.float32(1.0))
+                if len(self._wcache) < (1 << 20):
+                    self._wcache[key] = hit
+            return hit
         return np.float32(boost) * self.idf(df) * (self.k1 + np.float32(1.0))
 
     def score(self, df, freq, norm_bytes, boost: float = 1.0) -> np.ndarray:

@@ -76,6 +76,24 @@ def encode_norm(boost, field_length) -> np.ndarray:
         return float_to_byte315(boost32 / root)
 
 
-def doclen_to_norm(field_length) -> np.ndarray:
-    """Norm byte for boost=1.0 (the engine's fixed configuration)."""
+# scalar doclen -> norm-byte memo: document lengths are small ints that
+# repeat constantly (one lookup per doc at build time, one per scored doc
+# in driver-side oracles), and the vectorized numpy path costs ~35us per
+# scalar call.  The memo stores the EXACT value the vectorized path
+# produces, so this is a pure speedup, not a semantic change.
+_DOCLEN_NORM_MEMO: dict[int, int] = {}
+
+
+def doclen_to_norm(field_length):
+    """Norm byte for boost=1.0 (the engine's fixed configuration).
+
+    Scalar ints take a memoized fast path; arrays go through the
+    vectorized kernel unchanged."""
+    if isinstance(field_length, int):
+        hit = _DOCLEN_NORM_MEMO.get(field_length)
+        if hit is None:
+            hit = int(encode_norm(np.float32(1.0), field_length))
+            if len(_DOCLEN_NORM_MEMO) < (1 << 20):
+                _DOCLEN_NORM_MEMO[field_length] = hit
+        return np.uint8(hit)
     return encode_norm(np.float32(1.0), field_length)

@@ -190,8 +190,8 @@ def make_fused_postings_partition(key_col: str, text_col: str,
     path (build_index(fused=False)).
     """
 
-    from ..functions.tokenizer import get_analyzer
-    analyze_fn = get_analyzer(analyzer)
+    from ..functions.tokenizer import get_inverted_analyzer
+    invert_fn = get_inverted_analyzer(analyzer)
 
     def fused_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         next_docid = 0
@@ -213,15 +213,11 @@ def make_fused_postings_partition(key_col: str, text_col: str,
                 raw = texts[i]
                 if html_input:
                     raw = html_to_text(raw) if raw is not None else ""
-                toks = analyze_fn(raw if raw is not None else "")
-                doclen = len(toks)
+                per_term, doclen = invert_fn(raw if raw is not None else "")
                 norm = int(doclen_to_norm(doclen))
                 meta_rows.append((docid, keys[i], doclen, norm))
                 if not doclen:
                     continue
-                per_term: dict[str, list[int]] = {}
-                for t in toks:
-                    per_term.setdefault(t.term, []).append(t.pos)
                 for term, ps in per_term.items():
                     slot = inv.get(term)
                     if slot is None:

@@ -107,13 +107,55 @@ def pretokenize(docs: DataFrame, key_col: str = "doc_id",
 
 
 def word_counts(docs: DataFrame, key_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text", method: str = "auto") -> DataFrame:
     """(word, count): corpus-wide pre-token frequency table — the training
     input for :func:`bpe_train`.  One map-side-combined shuffle keyed by
-    word type (the same shape as the index build's term aggregation)."""
-    return (docs.select(F.explode(_words_col(F.col(text_col)))
-                        .alias("word"))
-            .groupBy("word").agg(F.count("*").cast("long").alias("count")))
+    word type (the same shape as the index build's term aggregation).
+
+    ``method``: ``catalyst`` pre-tokenizes with JVM regex (the path the
+    DuckDB gate oracle mirrors expression-for-expression); ``arrow``
+    counts words per partition inside an Arrow batch stage (Python ``re``,
+    which after the sentinel scrub agrees with java.util.regex / RE2 on
+    ``PRETOKEN_RE`` by construction — the same identity
+    :func:`bpe_encode`'s pandas path relies on) and shuffles only the
+    per-partition partial counts.  Identical results (differentially
+    tested); ``arrow`` is ~4x faster per pass because java.util.regex's
+    extract-all + a 60x-corpus-size explode dominate the catalyst plan,
+    while the arrow stage ships one bounded (word, partial-count) table
+    per partition into the same map-side-combinable shuffle.  ``auto`` =
+    ``arrow``.
+    """
+    if method == "auto":
+        method = "arrow"
+    if method == "catalyst":
+        return (docs.select(F.explode(_words_col(F.col(text_col)))
+                            .alias("word"))
+                .groupBy("word").agg(F.count("*").cast("long").alias("count")))
+    if method != "arrow":
+        raise ValueError(f"unknown method {method!r}")
+
+    import re
+    from collections import Counter
+
+    pre = re.compile(PRETOKEN_RE)
+    scrub = re.compile(_SENTINEL_SCRUB)
+
+    def partial_counts(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        counts: Counter = Counter()
+        findall = pre.findall
+        sub = scrub.sub
+        for pdf in batches:
+            for text in pdf[text_col]:
+                counts.update(findall(sub(" ", (text or "").lower())))
+        if counts:
+            yield pd.DataFrame({"word": list(counts.keys()),
+                                "count": list(counts.values())})
+
+    partials = docs.select(text_col).mapInPandas(
+        partial_counts, schema="word STRING, count LONG")
+    return (partials.groupBy("word")
+            .agg(F.sum("count").cast("long").alias("count")))
 
 
 # --------------------------------------------------------------------------

@@ -21,10 +21,33 @@ each pass streams at parquet-scan speed on a 1000-executor cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["pii_scrub", "c4_line_filter", "line_dedup",
-           "gopher_quality_filter"]
+           "gopher_quality_filter", "eval_once"]
+
+
+def eval_once(c: Column) -> Column:
+    """Value-identity barrier that forces ``c`` to be evaluated ONCE.
+
+    ``element_at(shuffle(array(c)), 1)`` always returns ``c`` (shuffling a
+    one-element array is the identity), but ``shuffle`` is non-deterministic,
+    so the optimizer may neither collapse the projection computing it into
+    downstream projections nor substitute it into a pushed-down filter
+    predicate — the two rewrites that otherwise re-evaluate an expensive
+    derived column once per reference (the Catalyst-expression analogue of
+    the duplicated-UDF problem; marking the expression non-deterministic is
+    the documented fix for both).  Without this, composing
+    ``pii_scrub -> c4_line_filter -> where(page_keep) -> gopher -> where(keep)``
+    re-ran the full upstream regex chain inside every pushed filter: ~2x
+    the whole stack's cost at 300k docs, growing with chain depth.
+
+    Trade-off: a non-deterministic column also blocks pushing *other*
+    predicates through the projection, so this wraps only expensive
+    derived columns in full-corpus passes (where nothing useful could be
+    pushed to the scan anyway), not general query paths.
+    """
+    return F.element_at(F.shuffle(F.array(c)), 1)
 
 # RE2-compatible (no backrefs / lookaround) so the same patterns run in
 # Spark (java.util.regex) and in RE2-based engines used for oracles.
@@ -52,9 +75,12 @@ def pii_scrub(docs: DataFrame, key_col: str = "doc_id",
     t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
     n_phone = F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), 0))
     t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    # the 3-regex chain behind text_clean is the single most expensive
+    # expression of the cleaning stack — eval_once stops downstream
+    # filters/projections from re-running it per reference
     return docs.select(
         F.col(key_col),
-        t3.alias("text_clean"),
+        eval_once(t3).alias("text_clean"),
         n_email.cast("long").alias("n_email"),
         n_ip.cast("long").alias("n_ip"),
         n_phone.cast("long").alias("n_phone"),
@@ -88,14 +114,23 @@ def c4_line_filter(docs: DataFrame, key_col: str = "doc_id",
         lambda x: x.rlike("[.!?]$")
         & (F.size(_line_words(x)) >= F.lit(min_words_per_line))
         & ~F.contains(F.lower(x), F.lit("javascript")))
-    lower_all = F.lower(F.col(text_col))
-    page_keep = ((F.size(kept) >= F.lit(min_lines))
-                 & ~F.contains(lower_all, F.lit("lorem ipsum"))
-                 & ~F.contains(F.col(text_col), F.lit("{")))
-    return docs.select(
+    # two-projection shape: the per-line filter array is materialized once
+    # (eval_once), then every output — and any downstream where(page_keep)
+    # — derives from the cheap attribute instead of a fresh copy of the
+    # line scan (+ whatever expression produced text_col upstream)
+    staged = docs.select(
         F.col(key_col),
-        F.array_join(kept, "\n").alias("text_clean"),
-        F.size(kept).cast("long").alias("n_lines_kept"),
+        F.col(text_col).alias("_c4_text"),
+        eval_once(kept).alias("_c4_kept"),
+    )
+    kept_c = F.col("_c4_kept")
+    page_keep = ((F.size(kept_c) >= F.lit(min_lines))
+                 & ~F.contains(F.lower(F.col("_c4_text")), F.lit("lorem ipsum"))
+                 & ~F.contains(F.col("_c4_text"), F.lit("{")))
+    return staged.select(
+        F.col(key_col),
+        F.array_join(kept_c, "\n").alias("text_clean"),
+        F.size(kept_c).cast("long").alias("n_lines_kept"),
         page_keep.alias("page_keep"),
     )
 
@@ -167,7 +202,15 @@ def gopher_quality_filter(docs: DataFrame, key_col: str = "doc_id",
     :func:`..textstats.repetition_stats`.)  Pure per-row Catalyst — no
     shuffle; floats rounded to 6 so oracle comparison is exact.
     """
-    words = _line_words(F.lower(F.col(text_col)))
+    # stage 1: tokenize once (eval_once — see c4_line_filter); stage 2:
+    # per-word stats from the materialized array; stage 3: the keep rule
+    # over the computed stats, so where(keep) re-checks six scalar
+    # comparisons instead of re-running the word scan per rule
+    staged = docs.select(
+        F.col(key_col),
+        eval_once(_line_words(F.lower(F.col(text_col)))).alias("_g_words"),
+    )
+    words = F.col("_g_words")
     n = F.size(words)
     nn = n.cast("double")
     mean_len = F.when(
@@ -181,16 +224,20 @@ def gopher_quality_filter(docs: DataFrame, key_col: str = "doc_id",
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(words),
         F.array(*[F.lit(s) for s in stop_words])))
-    keep = ((n >= F.lit(min_words)) & (n <= F.lit(max_words))
-            & (mean_len >= F.lit(min_mean_len))
-            & (mean_len <= F.lit(max_mean_len))
-            & (alpha_frac >= F.lit(min_alpha_frac))
-            & (stop_hits >= F.lit(min_stop_hits)))
-    return docs.select(
+    stats = staged.select(
         F.col(key_col),
         n.cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
+        eval_once(mean_len).alias("mean_word_len"),
+        eval_once(alpha_frac).alias("alpha_frac"),
         stop_hits.cast("long").alias("stop_hits"),
+    )
+    keep = ((F.col("n_words") >= F.lit(min_words))
+            & (F.col("n_words") <= F.lit(max_words))
+            & (F.col("mean_word_len") >= F.lit(min_mean_len))
+            & (F.col("mean_word_len") <= F.lit(max_mean_len))
+            & (F.col("alpha_frac") >= F.lit(min_alpha_frac))
+            & (F.col("stop_hits") >= F.lit(min_stop_hits)))
+    return stats.select(
+        key_col, "n_words", "mean_word_len", "alpha_frac", "stop_hits",
         keep.alias("keep"),
     )
