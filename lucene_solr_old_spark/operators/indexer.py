@@ -100,14 +100,22 @@ class InvertedIndex:
             if self._terms_dict is not None:
                 rows = (self._terms_dict
                         .where(F.col("term").isin(missing)).collect())
+                found = {r["term"]: (int(r["df"]), int(r["ttf"]))
+                         for r in rows}
             else:
+                # per-seg rows summed driver-side: <= |segments| x |terms|
+                # tiny rows, ONE stage (no shuffle, no AQE round) — vs the
+                # groupBy form this halves the per-query "term dict seek"
+                # job's latency; exact same integer sums
                 rows = (
                     self.postings.where(F.col("term").isin(missing))
-                    .groupBy("term")
-                    .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-                    .collect()
+                    .select("term", "df", "ttf").collect()
                 )
-            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+                found = {}
+                for r in rows:
+                    df0, ttf0 = found.get(r["term"], (0, 0))
+                    found[r["term"]] = (df0 + int(r["df"]),
+                                        ttf0 + int(r["ttf"]))
             for t in missing:
                 self._term_cache[t] = found.get(t, (0, 0))
         return {t: self._term_cache[t] for t in set(terms)}

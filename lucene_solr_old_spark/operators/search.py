@@ -68,8 +68,14 @@ def _qtokens(index: InvertedIndex, query_text: str):
 
 
 def _cache_array(stats: Bm25Stats) -> Column:
-    """256-entry float32 norm-factor cache as a Spark array literal."""
-    return F.array(*[F.lit(float(c)).cast("float") for c in stats.cache])
+    """256-entry float32 norm-factor cache as a Spark array literal.
+
+    Built as ONE array literal + an array<float> cast rather than 256
+    per-element ``lit().cast()`` calls: each Column call is a py4j round
+    trip, and the per-element form cost ~0.5s of driver time PER QUERY
+    construction.  Element values are identical (double -> float32 cast
+    per element either way)."""
+    return F.lit([float(c) for c in stats.cache]).cast("array<float>")
 
 
 def _norm_factor(stats: Bm25Stats) -> Column:
@@ -127,7 +133,9 @@ class _Scorer:
             self._sqltype = "float"
 
     def norm_factor(self) -> Column:
-        arr = F.array(*[F.lit(c).cast(self._sqltype) for c in self._cache])
+        # single array literal + cast — see _cache_array for why
+        arr = F.lit([float(c) for c in self._cache]).cast(
+            f"array<{self._sqltype}>")
         return F.element_at(arr, F.col("norm") + 1)
 
     def weight_map(self) -> Column:

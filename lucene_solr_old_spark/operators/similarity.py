@@ -28,7 +28,7 @@ __all__ = ["cosine_topk", "cosine_score_col", "srp_planes", "lsh_buckets",
 
 def cosine_score_col(vec_col, query: list[float]):
     """cosine(vec_col, query) as a Catalyst expression (float64)."""
-    q = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    q = F.lit([float(x) for x in query]).cast("array<double>")
     prods = F.zip_with(vec_col, q, lambda x, y: x.cast("double") * y)
     dot = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
     sq = F.aggregate(
@@ -68,7 +68,7 @@ def lsh_buckets(emb: DataFrame, dim: int, n_planes: int = 8,
     planes = srp_planes(dim, n_planes)
     bucket = None
     for j, plane in enumerate(planes):
-        parr = F.array(*[F.lit(float(s)).cast("double") for s in plane])
+        parr = F.lit([float(s) for s in plane]).cast("array<double>")
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), parr,
                        lambda x, y: x.cast("double") * y),
@@ -268,7 +268,7 @@ def assign_clusters(emb: DataFrame, centroids: list[tuple[int, list[float]]],
     rounding quantum).  One narrow pass; k fused distance expressions."""
     structs = []
     for cid, cv in centroids:
-        carr = F.array(*[F.lit(float(v)).cast("double") for v in cv])
+        carr = F.lit([float(v) for v in cv]).cast("array<double>")
         diff2 = F.zip_with(F.col(vec_col), carr,
                            lambda x, y: (x.cast("double") - y)
                            * (x.cast("double") - y))

@@ -57,7 +57,7 @@ def tfidf_score_frame(index: InvertedIndex, terms: list[str],
     value = {t: idf[t] * idf[t] * boost * query_norm * mult[t] for t in uniq}
     vmap = F.create_map(*[x for t, v in value.items()
                           for x in (F.lit(t), F.lit(v).cast(stype))])
-    norm_arr = F.array(*[F.lit(v).cast(stype) for v in _NORM_TABLE])
+    norm_arr = F.lit(list(_NORM_TABLE)).cast(f"array<{stype}>")
 
     exploded = (index.postings.where(F.col("term").isin(uniq))
                 .select("seg", "term", F.explode("postings").alias("p"))
@@ -127,7 +127,7 @@ def search_lmdirichlet(index: InvertedIndex, query_text: str, k: int = 10,
                           for x in (F.lit(t), F.lit(v).cast(stype))])
     mmap = F.create_map(*[x for t, m in mult.items()
                           for x in (F.lit(t), F.lit(float(m)).cast(stype))])
-    lq_arr = F.array(*[F.lit(v).cast(stype) for v in LQ64])
+    lq_arr = F.lit(list(LQ64)).cast(f"array<{stype}>")
 
     exploded = (index.postings.where(F.col("term").isin(uniq))
                 .select("seg", "term", F.explode("postings").alias("p"))
@@ -180,7 +180,7 @@ def search_dfr_gl2(index: InvertedIndex, query_text: str, k: int = 10,
                           for x in (F.lit(t), F.lit(v).cast(stype))])
     mmap = F.create_map(*[x for t, m in mult.items()
                           for x in (F.lit(t), F.lit(float(m)).cast(stype))])
-    lq_arr = F.array(*[F.lit(v).cast(stype) for v in LQ64])
+    lq_arr = F.lit(list(LQ64)).cast(f"array<{stype}>")
 
     exploded = (index.postings.where(F.col("term").isin(uniq))
                 .select("seg", "term", F.explode("postings").alias("p"))
@@ -233,7 +233,7 @@ def search_ib_spl(index: InvertedIndex, query_text: str, k: int = 10,
                           for x in (F.lit(t), F.lit(v).cast(stype))])
     mmap = F.create_map(*[x for t, m in mult.items()
                           for x in (F.lit(t), F.lit(float(m)).cast(stype))])
-    lq_arr = F.array(*[F.lit(v).cast(stype) for v in LQ64])
+    lq_arr = F.lit(list(LQ64)).cast(f"array<{stype}>")
     exploded = (index.postings.where(F.col("term").isin(uniq))
                 .select("seg", "term", F.explode("postings").alias("p"))
                 .select("seg", "term",
