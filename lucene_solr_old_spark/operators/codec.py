@@ -84,47 +84,99 @@ def vb_decode(buf: bytes, n: int) -> np.ndarray:
     return vals
 
 
+def _vb_encode_split(a: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """Varbyte-encode ``a`` in ONE vectorized pass and return the encoded
+    bytes sliced at the value indices in ``bounds`` (len(bounds) == number
+    of slices + 1).  Byte-identical to calling :func:`vb_encode` per slice
+    — LEB128 is per-value independent — but the numpy work (threshold
+    scan, byte scatter) runs once over the whole posting list instead of
+    once per 128-doc block, which removes the small-array numpy overhead
+    that dominated encode time."""
+    if a.size == 0:
+        return [b""] * (len(bounds) - 1)
+    a = a.astype(np.uint64, copy=False)
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += a >= t
+    byte_off = np.zeros(a.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+    out = np.zeros(int(byte_off[-1]), dtype=np.uint8)
+    idx = byte_off[:-1].copy()
+    rem = a.copy()
+    remaining = nbytes.copy()
+    while True:
+        mask = remaining > 0
+        if not mask.any():
+            break
+        last = remaining == 1
+        b = (rem & np.uint64(0x7F)).astype(np.uint8)
+        b = np.where(last, b, b | 0x80)
+        out[idx[mask]] = b[mask]
+        rem >>= np.uint64(7)
+        idx += 1
+        remaining -= 1
+    buf = out.tobytes()
+    cuts = byte_off[bounds]
+    return [buf[cuts[i]:cuts[i + 1]] for i in range(len(bounds) - 1)]
+
+
 def encode_blocks(docids, freqs, norms, positions=None) -> list[dict]:
     """Posting arrays (docid-ascending) -> list of block dicts.
 
     ``positions``: flat int array of ALL positions (doc-major); per-doc
     counts are the freqs.  Stored delta-encoded within each doc.
+
+    Vectorized across blocks: deltas, per-block maxima (reduceat) and the
+    varbyte streams are computed once over the whole list, then sliced at
+    block boundaries — byte-identical to the per-block formulation
+    (differentially tested) at a fraction of the numpy call overhead.
     """
     docids = np.asarray(docids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
     norms = np.asarray(norms, dtype=np.int64)
     n = docids.size
-    blocks = []
-    pos_flat = None
-    pos_bounds = None
+    if n == 0:
+        return []
+    starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+    vbounds = np.concatenate((starts, [n]))
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = 0
+    np.subtract(docids[1:], docids[:-1], out=deltas[1:])
+    deltas[starts] = 0                 # first delta of each block is 0
+    docs_parts = _vb_encode_split(deltas, vbounds)
+    freqs_parts = _vb_encode_split(freqs, vbounds)
+    max_tf = np.maximum.reduceat(freqs, starts)
+    max_norm = np.maximum.reduceat(norms, starts)
+    norm_bytes = norms.astype(np.uint8).tobytes()
+
     if positions is not None:
         pos_flat = np.asarray(positions, dtype=np.int64)
         pos_bounds = np.concatenate(([0], np.cumsum(freqs)))
-    for s in range(0, n, BLOCK_SIZE):
-        e = min(s + BLOCK_SIZE, n)
-        d = docids[s:e]
-        f = freqs[s:e]
-        nb = norms[s:e]
-        deltas = np.diff(d, prepend=d[0])  # first delta 0; block-independent
-        if positions is not None:
-            p = pos_flat[pos_bounds[s]:pos_bounds[e]]
-            # per-doc delta encoding: subtract previous position within doc
-            pdelta = np.diff(p, prepend=0)
-            doc_starts = (pos_bounds[s:e] - pos_bounds[s]).astype(np.int64)
-            pdelta[doc_starts] = p[doc_starts]  # first pos of each doc absolute
-            pos_bin = vb_encode(pdelta)
-        else:
-            pos_bin = b""
+        pdelta = np.empty(pos_flat.size, dtype=np.int64)
+        if pos_flat.size:
+            pdelta[0] = 0
+            np.subtract(pos_flat[1:], pos_flat[:-1], out=pdelta[1:])
+        doc_starts = pos_bounds[:-1]
+        pdelta[doc_starts] = pos_flat[doc_starts]  # first pos per doc absolute
+        pos_parts = _vb_encode_split(pdelta, pos_bounds[vbounds])
+    else:
+        pos_parts = None
+
+    blocks = []
+    for bi in range(starts.size):
+        s, e = int(starts[bi]), int(ends[bi])
         blocks.append({
-            "first_docid": int(d[0]),
-            "last_docid": int(d[-1]),
-            "count": int(e - s),
-            "max_tf": int(f.max()),
-            "max_norm": int(nb.max()),
-            "docs": vb_encode(deltas),
-            "freqs": vb_encode(f),
-            "norms": nb.astype(np.uint8).tobytes(),
-            "positions": pos_bin,
+            "first_docid": int(docids[s]),
+            "last_docid": int(docids[e - 1]),
+            "count": e - s,
+            "max_tf": int(max_tf[bi]),
+            "max_norm": int(max_norm[bi]),
+            "docs": docs_parts[bi],
+            "freqs": freqs_parts[bi],
+            "norms": norm_bytes[s:e],
+            "positions": pos_parts[bi] if pos_parts is not None else b"",
         })
     return blocks
 
