@@ -139,8 +139,9 @@ class InvertedIndex:
         indexes.  Mirrors the reference, which writes its term dict
         from the flushed segment data
         (codecs/BlockTreeTermsWriter.java:177-187).  On append
-        (incremental segments) the stored dict would go stale — the
-        appender re-derives it lazily instead."""
+        (incremental segments) the stored dict goes stale — the append
+        paths (save(mode="append"), streaming flush_index_batch) DELETE
+        it, so readers fall back to the lazily-aggregated dictionary."""
         spark = self.postings.sparkSession
         stored_postings = spark.read.parquet(os.path.join(path, "postings"))
         (stored_postings.groupBy("term")
@@ -183,6 +184,15 @@ class InvertedIndex:
 
         if layout not in ("segdir", "packed"):
             raise ValueError("layout must be 'segdir' or 'packed'")
+        if layout == "packed" and mode != "overwrite":
+            # packed is write-once bulk ingest: an append would lay plain
+            # coalesced files next to existing ones (duplicating postings
+            # rows) and skip the terms_dict refresh — mirror the
+            # _require_segdir_layout guard on the streaming side
+            raise ValueError(
+                "layout='packed' is write-once (bulk ingest); use "
+                "mode='overwrite', or the default segdir layout for "
+                "indexes that take appends")
         if layout == "packed":
             # coalesce, NOT repartition/repartitionByRange: range
             # partitioning runs a SAMPLING pass that re-evaluates the
@@ -248,12 +258,29 @@ class InvertedIndex:
                 os.path.join(path, "segstats"))
             if mode == "overwrite":
                 self._write_terms_dict(path, mode)
+            else:
+                # an append invalidates the stored dictionary (its rows no
+                # longer cover the new segments' terms); drop it so
+                # load_index falls back to the lazily-aggregated dict
+                # instead of silently losing new terms from expansions
+                _drop_stored_terms_dict(path)
+                self._terms_dict = None
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "index_meta.json"), "w") as f:
             json.dump({"analyzer": self.analyzer,
                        "with_positions": self.with_positions,
                        "layout": layout,
                        "compressed": "blocks" in self.postings.columns}, f)
+
+
+def _drop_stored_terms_dict(path: str) -> None:
+    """Remove a stored terms_dict that an append has made stale (local
+    filesystem, matching index_meta.json's existing locality assumption)."""
+    import shutil
+
+    td = os.path.join(path, "terms_dict")
+    if os.path.isdir(td):
+        shutil.rmtree(td, ignore_errors=True)
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:

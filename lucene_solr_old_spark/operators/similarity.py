@@ -236,6 +236,12 @@ def index_vectors(emb: DataFrame, *,
     spark = emb.sparkSession
     (idx.repartition(acol)
         .write.mode("overwrite").partitionBy(acol).parquet(path))
+    # NOTE: the sidecar is written with a LOCAL open(), same locality
+    # assumption as index_meta.json — ``path`` must be a local filesystem
+    # path.  On hdfs:// or s3:// the parquet write would succeed but this
+    # sidecar would raise or land elsewhere and load_vector_index would
+    # lose the fingerprint; route remote paths through the Hadoop
+    # filesystem API before pointing index_vectors at them.
     with open(os.path.join(path, "_ann_index_meta.json"), "w") as f:
         json.dump({"assign_col": acol, **meta}, f)
     return _stamp(spark.read.parquet(path))

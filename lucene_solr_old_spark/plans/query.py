@@ -210,15 +210,25 @@ def _fuzzy_terms(index: InvertedIndex, clause: FuzzyClause) -> list[str]:
     seek analogue; stored with the segments, parquet-pruned) — ≤50 rows
     reach the driver regardless of dictionary size, and no postings
     aggregation appears in the query plan."""
+    from ..operators.spell import edit_candidate_pred
+
     cands = index.terms_dict().select("term")
     if clause.prefix_length > 0:
         # FuzzyQuery prefixLength: expansion shares the first p chars
+        # (also the stored dict's file-level min/max prune — it is written
+        # term-sorted)
         cands = cands.where(
             F.col("term").startswith(clause.text[:clause.prefix_length]))
+    # length-band + substring-anchor pruning (a safe superset — see
+    # edit_candidate_pred) so the exact distance runs against a small
+    # candidate set, not the whole dictionary; the threshold arg makes
+    # each surviving levenshtein O(max_edits * len) with early exit
+    cands = cands.where(edit_candidate_pred(clause.text, clause.max_edits))
     rows = (cands
             .withColumn("dist",
-                        F.levenshtein(F.col("term"), F.lit(clause.text)))
-            .where(F.col("dist") <= clause.max_edits)
+                        F.levenshtein(F.col("term"), F.lit(clause.text),
+                                      clause.max_edits))
+            .where(F.col("dist") >= 0)
             .orderBy(F.asc("dist"), F.asc("term"))
             .limit(clause.max_expansions)
             .collect())

@@ -169,11 +169,21 @@ def build_warc(docs, base_uri: str = "https://corpus.local/doc/",
 def parse_http_response(payload: bytes) -> tuple[int | None, str | None,
                                                  bytes]:
     """(status, content-type, body) from an HTTP response payload; a
-    payload with no header/body split parses as (None, None, payload)."""
+    payload with no header/body split parses as (None, None, payload).
+
+    Lenient line endings: real-world archives occasionally carry bare-LF
+    HTTP heads; when no CRLFCRLF separator exists, fall back to the first
+    blank LF line (headers then split on LF with trailing CR stripped) so
+    those records keep their status/content-type instead of being
+    silently dropped by http_status filters downstream."""
     head, sep, body = payload.partition(b"\r\n\r\n")
-    if not sep:
-        return None, None, payload
-    lines = head.split(_CRLF)
+    if sep:
+        lines = head.split(_CRLF)
+    else:
+        head, sep, body = payload.partition(b"\n\n")
+        if not sep:
+            return None, None, payload
+        lines = [ln.rstrip(b"\r") for ln in head.split(b"\n")]
     status = None
     first = lines[0].split()
     if len(first) >= 2 and first[0].startswith(b"HTTP/"):

@@ -94,6 +94,12 @@ def flush_index_batch(batch_df: DataFrame, batch_id: int, index_path: str,
             .partitionBy("seg").parquet(os.path.join(index_path, "segstats"))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # a flushed batch makes any stored terms_dict stale (it predates the
+    # new segments' terms); drop it so readers opened via load_index
+    # re-derive the dictionary lazily instead of silently losing the new
+    # terms from multi-term expansions and term_stats
+    from ..operators.indexer import _drop_stored_terms_dict
+    _drop_stored_terms_dict(index_path)
 
 
 def start_incremental_indexer(
