@@ -194,8 +194,19 @@ def bpe_train(counts, num_merges: int, max_types: int = 1_000_000,
     path), so cost is O(total pair churn), not O(merges x types).
     """
     if isinstance(counts, DataFrame):
+        # fetch one extra row purely to DETECT truncation — "no silent
+        # caps": the Zipf tail dropped here contributes pair counts below
+        # any merge threshold, but the operator says so instead of hiding it
         rows = (counts.orderBy(F.desc("count"), F.asc("word"))
-                .limit(max_types).collect())
+                .limit(max_types + 1).collect())
+        if len(rows) > max_types:
+            import logging
+            logging.getLogger(__name__).warning(
+                "bpe_train: corpus has more than max_types=%d word types; "
+                "training on the top %d by (count desc, word asc) — raise "
+                "max_types to include the dropped tail", max_types,
+                max_types)
+            rows = rows[:max_types]
         pairs_in = [(r["word"], r["count"]) for r in rows]
     else:
         pairs_in = sorted(counts, key=lambda wc: (-wc[1], wc[0]))[:max_types]
