@@ -540,6 +540,12 @@ def compress_index(index: InvertedIndex) -> InvertedIndex:
     compressed = arrays.mapInPandas(encode_rows, schema=out_schema)
     out = InvertedIndex(compressed, index.docmeta, index.segstats,
                         index.with_positions, index.analyzer)
-    # (seg,term,df,ttf) are unchanged by encoding — carry the dictionary
+    # (seg,term,df,ttf) and docmeta/segstats are unchanged by encoding —
+    # carry the dictionary AND the already-collected stat caches, so the
+    # first query on the compressed index doesn't re-run the collection
+    # stats / term-stats seek jobs the source index already paid for
     out._terms_dict = index._terms_dict
+    out._stats = index._stats
+    if hasattr(index, "_term_cache"):
+        out._term_cache = index._term_cache
     return out
