@@ -52,8 +52,9 @@ def exact_dedup_groups(docs: DataFrame, key_col: str = "doc_id",
                  F.min(key_col).alias("keeper")))
 
 
-def shingles(tokens: DataFrame, n: int = 3) -> DataFrame:
-    """(key, shingle) distinct token n-grams from the ordered stream."""
+def _shingle_stream(tokens: DataFrame, n: int) -> DataFrame:
+    """(key, shingle) token n-grams from the ordered stream, WITH
+    duplicates (one row per shingle occurrence)."""
     w = Window.partitionBy("key").orderBy("pos")
     sh = tokens
     cols = [F.col("term")]
@@ -61,8 +62,12 @@ def shingles(tokens: DataFrame, n: int = 3) -> DataFrame:
         sh = sh.withColumn(f"t{i}", F.lead("term", i).over(w))
         cols.append(F.col(f"t{i}"))
     return (sh.where(F.col(f"t{n-1}").isNotNull() if n > 1 else F.lit(True))
-            .select("key", F.concat_ws(" ", *cols).alias("shingle"))
-            .distinct())
+            .select("key", F.concat_ws(" ", *cols).alias("shingle")))
+
+
+def shingles(tokens: DataFrame, n: int = 3) -> DataFrame:
+    """(key, shingle) distinct token n-grams from the ordered stream."""
+    return _shingle_stream(tokens, n).distinct()
 
 
 def minhash_signatures(tokens: DataFrame, n_hashes: int = 4,
@@ -73,18 +78,24 @@ def minhash_signatures(tokens: DataFrame, n_hashes: int = 4,
     token n-grams — the production setting (term-set sketches degenerate on
     small vocabularies: near-identical sets collide into one LSH bucket and
     the candidate join goes quadratic).  Aggregation is a single groupBy
-    with n min() columns (map-side combinable, skew-free)."""
+    with n min() columns (map-side combinable, skew-free).
+
+    The shingle/term stream is fed to the aggregation WITHOUT a distinct:
+    ``min`` over a multiset equals ``min`` over its support, so the
+    per-doc sketch is identical, and dropping the distinct removes a full
+    (key, shingle) shuffle from the plan (the partial min aggregation
+    already combines duplicates map-side for free)."""
     if shingle_n > 1:
-        distinct_terms = shingles(tokens, shingle_n) \
+        terms = _shingle_stream(tokens, shingle_n) \
             .withColumnRenamed("shingle", "term")
     else:
-        distinct_terms = tokens.select("key", "term").distinct()
+        terms = tokens.select("key", "term")
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("term"))))
         .alias(f"sig_{i}")
         for i in range(n_hashes)
     ]
-    return distinct_terms.groupBy("key").agg(*aggs)
+    return terms.groupBy("key").agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
@@ -93,17 +104,17 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFr
     band hash — at scale AQE splits hot buckets (boilerplate-heavy shingle
     sets are the classic skew source)."""
     sig_cols = [c for c in signatures.columns if c.startswith("sig_")]
-    bands = []
-    for bi in range(0, len(sig_cols), rows_per_band):
-        cols = sig_cols[bi:bi + rows_per_band]
-        bands.append(
-            signatures.select(
-                "key",
-                F.lit(bi // rows_per_band).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket")))
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    # one band-hash ARRAY + posexplode instead of a union of per-band
+    # selects: the union form evaluates the whole signature subtree once
+    # per band per join side (4x for 2 bands) because Spark performs no
+    # common-subtree elimination across union branches; the exploded form
+    # computes signatures once per side, and both sides' (band, bucket)
+    # exchanges are identical so the join reuses one shuffle.
+    band_hashes = F.array(*[
+        F.md5(F.concat_ws("|", *sig_cols[bi:bi + rows_per_band]))
+        for bi in range(0, len(sig_cols), rows_per_band)])
+    banded = signatures.select(
+        "key", F.posexplode(band_hashes).alias("band", "bucket"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right, (F.col("l.band") == F.col("r.band"))

@@ -146,6 +146,34 @@ def warm_session(spark: SparkSession) -> None:
         (c.select("id", "k").mapInPandas(_ident, schema="id LONG, k INT")
          .write.format("noop").mode("overwrite").save())
         c.unpersist()
+
+        # Second warming tier: a miniature index-build + query + dedup
+        # workload over ~2k synthetic docs — the literal firstSearcher
+        # pattern (representative queries through the real operators).
+        # Warms the engine's own pipelines end to end: fused Arrow
+        # analysis, posting-list caching, the batched query join/window
+        # plan, and the MinHash window/band-join chain.
+        from ..operators import dedup as _D
+        from ..operators.batch import batch_search as _bs
+        from ..operators.indexer import build_index as _bi
+
+        mini = spark.range(0, 2000, 1, 4).select(
+            F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 6, "0")
+                     ).alias("key"),
+            F.concat(
+                F.lit("alpha beta gamma delta epsilon zeta eta theta w"),
+                (F.col("id") % 17).cast("string"), F.lit(" w"),
+                (F.col("id") % 31).cast("string")).alias("text"))
+        midx = _bi(mini, key_col="key", text_col="text", num_segments=4,
+                   analyzer="ws_stop")
+        midx.postings.count()
+        midx.collection_stats()
+        _bs(midx, [(0, "alpha beta", "OR"), (1, "gamma", "AND"),
+                   (2, "w3 w5 delta", "OR")], k=5).count()
+        toks = _D.ws_tokens(mini, key_col="key", text_col="text")
+        _D.lsh_candidate_pairs(
+            _D.minhash_signatures(toks, shingle_n=3)).count()
+        midx.postings.unpersist()
     except Exception:
         pass  # warm-up is best-effort; never block a session on it
     finally:
