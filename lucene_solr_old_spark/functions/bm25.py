@@ -96,5 +96,17 @@ class Bm25Stats:
 
     def score(self, df, freq, norm_bytes, boost: float = 1.0) -> np.ndarray:
         """Per-doc term scores: freq + norm byte arrays -> float32 scores."""
+        if isinstance(freq, np.ndarray) and freq.size == 1:
+            # scalar fast path for driver-side per-doc loops (explain,
+            # oracle scoring) that call with 1-element arrays: the same
+            # float32 ops in the same order as score_tf — np.float32
+            # scalar arithmetic is single-precision IEEE, so the result
+            # is bit-identical — minus ~10 numpy array dispatches per
+            # call.
+            nbv = norm_bytes[0] if np.ndim(norm_bytes) else norm_bytes
+            f = np.float32(freq[0])
+            nf = self.cache[int(nbv) & 0xFF]
+            w = self.weight_value(df, boost)
+            return np.array([(w * f) / (f + nf)], dtype=np.float32)
         nb = np.asarray(norm_bytes, dtype=np.int64) & 0xFF
         return score_tf(self.weight_value(df, boost), freq, self.cache[nb])

@@ -170,6 +170,12 @@ def warm_session(spark: SparkSession) -> None:
         midx.collection_stats()
         _bs(midx, [(0, "alpha beta", "OR"), (1, "gamma", "AND"),
                    (2, "w3 w5 delta", "OR")], k=5).count()
+        from ..operators import search as _S
+        from ..operators.spans import span_near as _sn
+
+        _S.search_or(midx, "alpha beta", k=5).collect()
+        _S.search_phrase(midx, "alpha beta", k=5, slop=1).collect()
+        _sn(midx, "alpha beta", slop=2, in_order=True, k=5).collect()
         toks = _D.ws_tokens(mini, key_col="key", text_col="text")
         _D.lsh_candidate_pairs(
             _D.minhash_signatures(toks, shingle_n=3)).count()
