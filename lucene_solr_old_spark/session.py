@@ -164,12 +164,21 @@ def warm_session(spark: SparkSession) -> None:
                 F.lit("alpha beta gamma delta epsilon zeta eta theta w"),
                 (F.col("id") % 17).cast("string"), F.lit(" w"),
                 (F.col("id") % 31).cast("string")).alias("text"))
+        # persist_termdoc=False: the mini index must leave NO cache
+        # behind in the session (unpersisting the derived postings frame
+        # would not free the fused-stage cache); re-running the 2k-doc
+        # analysis per warming action costs ~0.2 s each.
         midx = _bi(mini, key_col="key", text_col="text", num_segments=4,
-                   analyzer="ws_stop")
+                   analyzer="ws_stop", persist_termdoc=False)
         midx.postings.count()
         midx.collection_stats()
-        _bs(midx, [(0, "alpha beta", "OR"), (1, "gamma", "AND"),
-                   (2, "w3 w5 delta", "OR")], k=5).count()
+        # >10 distinct terms so the batch plan compiles the InSet term
+        # filter shape (the form any real multi-query batch takes), not
+        # the small inlined In
+        _bs(midx, [(0, "alpha beta gamma delta", "OR"),
+                   (1, "epsilon zeta", "AND"),
+                   (2, "w3 w5 eta theta", "OR"),
+                   (3, "w1 w2 w4 iota", "OR")], k=5).count()
         from ..operators import search as _S
         from ..operators.spans import span_near as _sn
 
