@@ -104,12 +104,21 @@ def warm_session(spark: SparkSession) -> None:
     heavy stage runs 2-5x its steady-state time with identical bytes
     (in-task JIT); one ~60k-row warm-up job recovers most of that for
     every subsequent stage (e.g. the fused 300k-page index build drops
-    from ~11 s cold to ~5 s).  Disable with SPARK_GRAFT_WARMUP=0 (it
-    runs once per JVM; correctness tests don't need it).
+    from ~11 s cold to ~5 s).
+
+    Runs once per JVM, and by default only for throughput-sized sessions
+    (parallelism >= 16): small local[2..8] sessions are correctness/test
+    contexts where a multi-second warm-up costs more wall than it saves —
+    the same reason Solr warming is a per-config listener, not
+    unconditional.  SPARK_GRAFT_WARMUP=0 disables everywhere, =1 forces
+    warming regardless of session size.
     """
-    if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "0":
+    mode = os.environ.get("SPARK_GRAFT_WARMUP", "auto")
+    if mode == "0":
         return
     if getattr(spark, "_lsos_warmed", False):
+        return
+    if mode != "1" and spark.sparkContext.defaultParallelism < 16:
         return
     spark._lsos_warmed = True
     from pyspark.sql import Window, functions as F
